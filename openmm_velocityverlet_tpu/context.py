@@ -1,0 +1,397 @@
+"""Context: binds System + VVIntegrator + ForceEvaluator into one fused,
+jitted MD step and owns the dynamic state.
+
+This is the analog of OpenMM's Context plus the reference's step orchestration
+(VVIntegrator::stepMiddle / stepVV, VVIntegrator.cpp:232-338) — but the whole
+``step(n)`` is a single device program (jit + lax.fori_loop): force evaluation,
+extra forces, kicks/drifts, constraints, TGNH chain, hard wall, image sync and
+the barostat all fuse with zero host synchronization per step.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .forces import ForceEvaluator
+from .integrators import barostat as baro_mod
+from .integrators import stepping
+from .integrators.vv import IntegratorData, VVIntegrator
+from .ops import constraints as cons_mod
+from .ops import neighborlist as nbl
+from .system import State, System, make_state
+from .units import BOLTZ
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+@struct.dataclass
+class Carry:
+    state: State
+    nbrs: nbl.NeighborList
+    baro: baro_mod.BarostatState
+    forces: jnp.ndarray        # (N,3) cached FF forces (VV scheme carry)
+    forces_extra: jnp.ndarray  # (N,3) cached extra forces (VV scheme carry)
+    forces_valid: jnp.ndarray  # () bool
+
+
+class Context:
+    def __init__(self, system: System, integrator: VVIntegrator,
+                 external_forces: Sequence = (),
+                 barostat: Optional[baro_mod.BarostatConfig] = None,
+                 positions=None, box=None, skin: float = 0.12,
+                 neighbor_capacity: Optional[int] = None,
+                 ewald_chunk: int = 4096):
+        self.system = system
+        self.integrator = integrator
+        self.data: IntegratorData = integrator.build_data(system)
+        self.evaluator = ForceEvaluator(system, external_forces,
+                                        ewald_chunk=ewald_chunk)
+        self.barostat_cfg = barostat
+        if box is None:
+            raise ValueError("box is required")
+        box = np.asarray(box, np.float32)
+
+        n = system.n_atoms
+        self.cons = cons_mod.build_constraint_data(
+            np.asarray(system.constraints), np.asarray(system.constraint_dist),
+            np.asarray(system.inv_masses),
+            tolerance=integrator.constraint_tolerance)
+
+        # neighbor strategy: dense all-pairs for small systems
+        self.dense_neighbors = n <= 600
+        if self.dense_neighbors:
+            self.nbr_cfg = None
+        else:
+            self.nbr_cfg = nbl.make_config(
+                box, system.r_cutoff, skin=skin, n_atoms=n,
+                capacity=neighbor_capacity,
+                max_exclusions=system.exclusions.shape[1])
+
+        self.state: State = make_state(
+            np.zeros((n, 3), np.float32) if positions is None else positions,
+            box, num_nh_chains=integrator.num_nh_chains,
+            seed=integrator.random_number_seed)
+        self._carry: Optional[Carry] = None
+        self._compiled = {}
+        if positions is not None:
+            self.set_positions(positions)
+
+    # ------------------------------------------------------------- helpers
+    def _fresh_nbrs(self, pos, box):
+        if self.dense_neighbors:
+            nb = nbl.dense_neighbor_list(self.system.n_atoms)
+            nb = nbl.apply_exclusions(nb, self.system.exclusions)
+            return nb.replace(ref_pos=pos)
+        return nbl.build(pos, box, self.system.exclusions, self.nbr_cfg)
+
+    def _maybe_rebuild(self, nbrs, pos, box):
+        if self.dense_neighbors:
+            return nbrs
+        return nbl.maybe_rebuild(nbrs, pos, box, self.system.exclusions,
+                                 self.nbr_cfg)
+
+    def _make_carry(self):
+        st = self.state
+        nbrs = jax.jit(self._fresh_nbrs)(st.pos, st.box)
+        vol = float(st.box[0] * st.box[1] * st.box[2])
+        baro = baro_mod.make_barostat_state(vol)
+        n = self.system.n_atoms
+        return Carry(state=st, nbrs=nbrs, baro=baro,
+                     forces=jnp.zeros((n, 3), f32),
+                     forces_extra=jnp.zeros((n, 3), f32),
+                     forces_valid=jnp.zeros((), bool))
+
+    # --------------------------------------------------------- public API
+    def set_positions(self, positions):
+        pos = jnp.asarray(positions, f32)
+        pos = self.evaluator.place_vsites(pos)
+        self.state = self.state.replace(pos=pos, pos_err=jnp.zeros_like(pos))
+        self._carry = None
+
+    def set_velocities(self, velocities):
+        self.state = self.state.replace(vel=jnp.asarray(velocities, f32))
+        if self._carry is not None:
+            self._carry = self._carry.replace(
+                state=self.state, forces_valid=jnp.zeros((), bool))
+
+    def set_velocities_to_temperature(self, temperature, seed=12345):
+        key = jax.random.PRNGKey(seed)
+        sigma = jnp.sqrt(BOLTZ * temperature * self.system.inv_masses)[:, None]
+        vel = sigma * jax.random.normal(key, (self.system.n_atoms, 3), f32)
+        self.set_velocities(vel)
+
+    def get_positions(self):
+        return np.asarray(self.state.pos)
+
+    def get_velocities(self):
+        return np.asarray(self.state.vel)
+
+    def get_box(self):
+        return np.asarray(self.state.box)
+
+    @property
+    def time(self):
+        return float(self.state.time)
+
+    @property
+    def current_step(self):
+        return int(self.state.step)
+
+    def kinetic_energy(self):
+        return float(stepping.kinetic_energy(self.state.vel,
+                                             self.system.masses))
+
+    def potential_energy_terms(self):
+        if self._carry is None:
+            self._carry = self._make_carry()
+        fn = self._get_compiled("energy")
+        terms = fn(self._carry.state, self._carry.nbrs.idx)
+        return {k: float(v) for k, v in terms.items()}
+
+    def potential_energy(self):
+        return sum(self.potential_energy_terms().values())
+
+    def group_energies(self):
+        return {g: float(v) for g, v in self.evaluator.group_energies(
+            self.potential_energy_terms()).items()}
+
+    def get_forces(self):
+        if self._carry is None:
+            self._carry = self._make_carry()
+        fn = self._get_compiled("forces")
+        return np.asarray(fn(self._carry.state, self._carry.nbrs.idx))
+
+    def get_viscosity(self):
+        """(vMax nm/ps, 1/viscosity in 1/(Pa s)) — VVIntegrator::getViscosity
+        (VVIntegrator.cpp:378-383) with the SWIG unit conversion applied."""
+        v = float(self.state.cos_v)
+        inv_vis_md = float(stepping.inverse_viscosity(
+            jnp.asarray(v), self.state.box, self.system.masses,
+            self.data.cos_acceleration)) if self.data.cos_acceleration else 0.0
+        return v, inv_vis_md * 6.02214076e5
+
+    def step(self, n: int):
+        if self._carry is None:
+            self._carry = self._make_carry()
+        fn = self._get_compiled("step_n")
+        self._carry = fn(self._carry, jnp.asarray(n, i32))
+        self.state = self._carry.state
+        if bool(self._carry.nbrs.did_overflow):
+            raise RuntimeError(
+                "neighbor list overflow — increase capacity (re-create the "
+                "Context with a larger neighbor_capacity)")
+
+    # ------------------------------------------------------ compiled fns
+    def _get_compiled(self, name):
+        if name in self._compiled:
+            return self._compiled[name]
+        if name == "energy":
+            def energy(state, nbr_idx):
+                terms, _ = self.evaluator.energy_forces(state.pos, state.box,
+                                                        nbr_idx)
+                return terms
+            fn = jax.jit(energy)
+        elif name == "forces":
+            def forces(state, nbr_idx):
+                _, f = self.evaluator.energy_forces(state.pos, state.box,
+                                                    nbr_idx)
+                return f
+            fn = jax.jit(forces)
+        elif name == "step_n":
+            single = self._build_step_fn()
+
+            @jax.jit
+            def step_n(carry, n):
+                return jax.lax.fori_loop(0, n, lambda i, c: single(c), carry)
+            fn = step_n
+        else:
+            raise KeyError(name)
+        self._compiled[name] = fn
+        return fn
+
+    # ------------------------------------------------------- the MD step
+    def _build_step_fn(self):
+        sysm = self.system
+        data = self.data
+        ev = self.evaluator
+        cons = self.cons
+        dt = data.dt
+        masses = sysm.masses
+        inv_m = sysm.inv_masses
+        has_nh = (data.nh_normal.shape[0] + data.nh_pairs.shape[0]) > 0
+        has_ld = (data.ld_normal.shape[0] + data.ld_pairs.shape[0]) > 0
+        has_ef = data.electrolyte.shape[0] > 0 and data.electric_field != 0
+        has_cos = data.cos_acceleration != 0
+        has_extra = has_ld or has_ef or has_cos
+        has_cons = cons.n_constraints > 0
+        baro_cfg = self.barostat_cfg
+
+        def extra_forces(pos, vel, box, key):
+            f = jnp.zeros_like(pos)
+            if has_ld:
+                f = f + stepping.langevin_extra_force(vel, masses, key, data)
+            if has_ef:
+                idx, fz = stepping.efield_extra_force(sysm.charges, data)
+                f = f.at[idx, 2].add(fz)
+            if has_cos:
+                f = f.at[:, 0].add(stepping.cos_extra_force(pos, masses, box,
+                                                            data))
+            return f
+
+        def thermostat(pos, vel, box, st: State):
+            """NH/TGNH block incl. cosine bias remove/restore
+            (VVIntegrator.cpp:251-260)."""
+            cos_v = st.cos_v
+            if has_cos:
+                cos_v = stepping.cos_velocity_bias(pos, vel, masses, box)
+                vel = stepping.cos_shift_velocity(pos, vel, box, cos_v, -1.0)
+            vel, eta, eta_dot, eta_dotdot, _ = stepping.nh_scale_velocities(
+                vel, masses, inv_m, sysm.particle_mol_id, sysm.mol_masses,
+                sysm.mol_inv_masses, data, st.nh_eta, st.nh_eta_dot,
+                st.nh_eta_dotdot)
+            if has_cos:
+                vel = stepping.cos_shift_velocity(pos, vel, box, cos_v, 1.0)
+            st = st.replace(nh_eta=eta, nh_eta_dot=eta_dot,
+                            nh_eta_dotdot=eta_dotdot, cos_v=cos_v)
+            return vel, st
+
+        def update_context_state(carry: Carry):
+            """CMMotionRemover + MC barostat (context->updateContextState,
+            VVIntegrator.cpp:234)."""
+            st = carry.state
+            if sysm.has_cm_motion_remover:
+                mom = jnp.sum(masses[:, None] * st.vel, 0)
+                vcm = mom / jnp.sum(masses)
+                vel = jnp.where(inv_m[:, None] > 0, st.vel - vcm, st.vel)
+                st = st.replace(vel=vel)
+            invalidated = jnp.zeros((), bool)
+            if baro_cfg is not None:
+                def try_move(args):
+                    st, bst = args
+
+                    def efn(pos, box):
+                        terms, _ = ev.energy_forces(pos, box, carry.nbrs.idx)
+                        return sum(terms.values())
+
+                    acc, pos, box, bst = baro_mod.attempt_move(
+                        baro_cfg, bst, st.pos, st.box, sysm.particle_mol_id,
+                        sysm.mol_masses, sysm.mol_inv_masses, masses, efn)
+                    st = st.replace(pos=pos, box=box,
+                                    pos_err=jnp.where(acc, 0.0, st.pos_err))
+                    return st, bst, acc
+
+                def no_move(args):
+                    st, bst = args
+                    return st, bst, jnp.zeros((), bool)
+
+                st, bst, acc = jax.lax.cond(
+                    st.step % baro_cfg.frequency == 0, try_move, no_move,
+                    (st, carry.baro))
+                carry = carry.replace(baro=bst)
+                invalidated = acc
+            return carry.replace(state=st), invalidated
+
+        # ------------------------------ middle scheme (stepMiddle) --------
+        def step_middle(carry: Carry) -> Carry:
+            carry, _ = update_context_state(carry)
+            st = carry.state
+            nbrs = self._maybe_rebuild(carry.nbrs, st.pos, st.box)
+            pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
+
+            _, F = ev.energy_forces(pos, box, nbrs.idx)
+            key, k_l = jax.random.split(st.rng_key)
+            if has_extra:
+                F = F + extra_forces(pos, vel, box, k_l)
+            # full kick (integrateMiddleVel)
+            vel = vel + dt * inv_m[:, None] * F
+            if has_cons:
+                vel = cons_mod.apply_velocity_constraints(pos, vel, box, cons,
+                                                          inv_m)
+            half1 = 0.5 * dt * vel
+            if has_nh:
+                vel, st = thermostat(pos, vel, box, st)
+            delta = half1 + 0.5 * dt * vel
+            new_pos, new_err = stepping.compensated_add(pos, err, delta)
+            if has_cons:
+                con_pos = cons_mod.apply_position_constraints(
+                    pos, new_pos, box, cons, inv_m)
+                # constraint velocity correction (integrateMiddlePos3)
+                vel = vel + (con_pos - new_pos) / dt
+                new_pos, new_err = stepping.compensated_add(
+                    new_pos, new_err, con_pos - new_pos)
+            hw_pos, vel = stepping.apply_hardwall(new_pos, vel, masses, inv_m,
+                                                  box, data)
+            new_pos, new_err = stepping.compensated_add(new_pos, new_err,
+                                                        hw_pos - new_pos)
+            img_pos = stepping.update_image_positions(new_pos, data)
+            if data.image_pairs.shape[0]:
+                new_err = jnp.where((img_pos != new_pos).any(-1, keepdims=True),
+                                    0.0, new_err)
+                new_pos = img_pos
+            st = st.replace(pos=new_pos, pos_err=new_err, vel=vel,
+                            rng_key=key, step=st.step + 1, time=st.time + dt)
+            return carry.replace(state=st, nbrs=nbrs)
+
+        # --------------------------- vanilla VV scheme (stepVV) -----------
+        def step_vv(carry: Carry) -> Carry:
+            carry, invalidated = update_context_state(carry)
+            st = carry.state
+            nbrs = self._maybe_rebuild(carry.nbrs, st.pos, st.box)
+            pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
+
+            def recompute(_):
+                _, f = ev.energy_forces(pos, box, nbrs.idx)
+                return f
+
+            F = jax.lax.cond(carry.forces_valid & ~invalidated,
+                             lambda _: carry.forces, recompute, None)
+            Fx = carry.forces_extra
+            # first NH scaling
+            if has_nh:
+                vel, st = thermostat(pos, vel, box, st)
+            # half kick + drift (velocityVerletIntegrateVelocities/Positions)
+            vel = vel + 0.5 * dt * inv_m[:, None] * (F + Fx)
+            delta = dt * vel
+            new_pos, new_err = stepping.compensated_add(pos, err, delta)
+            if has_cons:
+                con_pos = cons_mod.apply_position_constraints(
+                    pos, new_pos, box, cons, inv_m)
+                new_pos, new_err = stepping.compensated_add(
+                    new_pos, new_err, con_pos - new_pos)
+                # velocityVerletIntegratePositions sets vel = delta/dt after
+                # constraints (velocityVerlet.cu:35-68)
+                vel = jnp.where(inv_m[:, None] > 0, (con_pos - pos) / dt, vel)
+            hw_pos, vel = stepping.apply_hardwall(new_pos, vel, masses, inv_m,
+                                                  box, data)
+            new_pos, new_err = stepping.compensated_add(new_pos, new_err,
+                                                        hw_pos - new_pos)
+            img_pos = stepping.update_image_positions(new_pos, data)
+            if data.image_pairs.shape[0]:
+                new_err = jnp.where((img_pos != new_pos).any(-1, keepdims=True),
+                                    0.0, new_err)
+                new_pos = img_pos
+            # forces at full-step positions
+            _, F2 = ev.energy_forces(new_pos, box, nbrs.idx)
+            key, k_l = jax.random.split(st.rng_key)
+            Fx2 = (extra_forces(new_pos, vel, box, k_l) if has_extra
+                   else jnp.zeros_like(F2))
+            vel = vel + 0.5 * dt * inv_m[:, None] * (F2 + Fx2)
+            if has_cons:
+                vel = cons_mod.apply_velocity_constraints(new_pos, vel, box,
+                                                          cons, inv_m)
+            st = st.replace(pos=new_pos, pos_err=new_err, vel=vel, rng_key=key)
+            if has_nh:
+                vel, st = thermostat(new_pos, st.vel, box, st)
+                st = st.replace(vel=vel)
+            st = st.replace(step=st.step + 1, time=st.time + dt)
+            return carry.replace(state=st, nbrs=nbrs, forces=F2,
+                                 forces_extra=Fx2,
+                                 forces_valid=jnp.ones((), bool))
+
+        return step_middle if data.use_middle else step_vv

@@ -1,0 +1,128 @@
+"""Total potential-energy / force evaluation.
+
+Composes every term the reference workloads exercise (SURVEY.md section 3.5):
+bonded + OPLS tabulated LJ + Ewald Coulomb (direct, reciprocal, exclusion
+corrections, self, dispersion LRC) + 1-4 exceptions + Drude springs + Thole
+screening + CLPol Tang-Toennies damping + user external forces.
+
+Split for TPU efficiency:
+* hot (N,K) neighbor terms and the per-atom (N,E)/(N,X) tables produce
+  analytic forces (gather + sum, no scatter);
+* the remaining small terms are energies differentiated with jax.grad;
+* virtual-site placement wraps the whole thing, so lone-pair forces
+  redistribute onto parents through one vjp (ops/vsites.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .ops import bonded, drude, ewald, nonbonded, vsites
+from .system import System
+
+
+class ForceEvaluator:
+    """Builds a pure ``(pos, box, nbr_idx) -> (terms, forces)`` function for a
+    System plus optional external energy closures."""
+
+    def __init__(self, system: System,
+                 external_forces: Sequence[Callable] = (),
+                 ewald_chunk: int = 4096):
+        self.system = system
+        self.external_forces = list(external_forces)
+        self.ewald_chunk = ewald_chunk
+
+    # -- virtual sites ----------------------------------------------------
+    def place_vsites(self, pos):
+        s = self.system
+        return vsites.compute_vsites(pos, s.vsite_index, s.vsite_parents,
+                                     s.vsite_origin_w, s.vsite_x_w,
+                                     s.vsite_y_w, s.vsite_local)
+
+    # -- grad-differentiated terms ---------------------------------------
+    def _smooth_energy(self, pos, box):
+        """Everything whose force we get from jax.grad (placed positions)."""
+        s = self.system
+        terms = bonded.bonded_energy(s, pos, box)
+        terms["drude"] = drude.drude_spring_energy(
+            pos, box, s.drude_pairs, s.drude_k3, s.drude_k1, s.drude_k2,
+            s.drude_aniso)
+        terms["thole"] = drude.thole_energy(pos, box, s.thole_sites,
+                                            s.thole_qq, s.thole_screen)
+        if s.ewald_beta > 0:
+            terms["coul_recip"] = ewald.reciprocal_energy(
+                pos, box, s.charges, s.ewald_beta, s.kmax,
+                chunk=self.ewald_chunk)
+        if s.tt_donors.shape[0] > 0:
+            terms["tt_damping"] = nonbonded.tt_damping_energy(
+                pos, box, s.tt_donors, s.tt_charges, s.tt_dipole_mask,
+                s.exclusions, s.tt_b, s.tt_cutoff)
+        for i, f in enumerate(self.external_forces):
+            terms[f"external_{i}"] = f(pos, box)
+        return sum(terms.values()), terms
+
+    # -- full evaluation --------------------------------------------------
+    def energy_forces(self, pos_raw, box, nbr_idx):
+        """Returns (terms dict incl. every component, forces on real dofs)."""
+        s = self.system
+        pos = self.place_vsites(pos_raw)
+
+        e_lj, e_coul_dir, f_direct = nonbonded.direct_space(
+            pos, box, nbr_idx, s.charges, s.lj_type, s.acoef, s.bcoef,
+            s.ewald_beta, s.r_cutoff)
+        e_corr, f_corr = nonbonded.exclusion_correction(
+            pos, box, s.exclusions, s.charges, s.ewald_beta)
+        e_exc_q, e_exc_lj, f_exc = nonbonded.exception_terms(
+            pos, box, s.exc_idx, s.exc_qq, s.exc_c6, s.exc_c12)
+
+        (e_smooth, terms), grad_smooth = jax.value_and_grad(
+            self._smooth_energy, has_aux=True)(pos, box)
+
+        terms = dict(terms)
+        terms["lj"] = e_lj
+        terms["coul_direct"] = e_coul_dir
+        terms["coul_excl_corr"] = e_corr
+        terms["exception_coul"] = e_exc_q
+        terms["exception_lj"] = e_exc_lj
+        if s.ewald_beta > 0:
+            terms["coul_self"] = nonbonded.ewald_self_energy(
+                s.charges, s.ewald_beta, box)
+        if s.use_dispersion_correction:
+            terms["lj_lrc"] = nonbonded.dispersion_correction(
+                box, s.disp_coef_a2, s.disp_coef_b, s.r_cutoff)
+
+        forces = f_direct + f_corr + f_exc - grad_smooth
+        forces = vsites.redistribute_forces(
+            pos_raw, forces, s.vsite_index, s.vsite_parents, s.vsite_origin_w,
+            s.vsite_x_w, s.vsite_y_w, s.vsite_local)
+        return terms, forces
+
+    def potential_energy(self, pos_raw, box, nbr_idx):
+        terms, _ = self.energy_forces(pos_raw, box, nbr_idx)
+        return sum(terms.values()), terms
+
+    # Force-group decomposition mirroring oplspsffile.py:169-177 + force.py
+    GROUP_MAP = {
+        1: ("bond",),
+        2: ("angle", "urey_bradley"),
+        3: ("dihedral",),
+        4: ("improper",),
+        5: ("lj", "coul_direct", "coul_recip", "coul_self", "coul_excl_corr",
+            "exception_coul", "exception_lj", "lj_lrc"),
+        7: ("drude", "thole"),
+        9: ("tt_damping",),
+    }
+
+    def group_energies(self, terms):
+        out = {}
+        for g, keys in self.GROUP_MAP.items():
+            vals = [terms[k] for k in keys if k in terms]
+            if vals:
+                out[g] = sum(vals)
+        ext = [v for k, v in terms.items() if k.startswith("external_")]
+        if ext:
+            out[0] = sum(ext)
+        return out

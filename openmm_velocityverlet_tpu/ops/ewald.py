@@ -1,0 +1,99 @@
+"""Reciprocal-space Ewald sum, formulated as MXU matmul contractions.
+
+The reference delegates reciprocal space to OpenMM's cuFFT-based PME.  On TPU
+the FFT path's charge *spreading* is scatter-heavy, so for the system sizes the
+reference targets (8k-42k atoms) we instead evaluate the exact k-space sum
+
+    E = C/(2V) * sum_{k != 0, |k|<=kc} (4 pi / k^2) exp(-k^2/(4 beta^2)) |S(k)|^2
+    S(k) = sum_i q_i exp(i k . r_i)
+
+with the structure factor computed as a complex contraction
+
+    S[a,b,c] = sum_i (q_i phix[i,a] phiy[i,b]) phiz[i,c]
+
+i.e. one (A*B, N) x (N, C) matmul — which maps straight onto the MXU and gives
+exact (not interpolated) reciprocal forces via jax.grad (the backward pass is
+again matmuls).  Atom chunking keeps the (N, A, B) intermediate bounded.
+
+Accuracy matches PME with the same beta/error tolerance; k_max is chosen from
+the standard Ewald error estimate (same formula OpenMM uses for its Ewald
+method).  A pallas/FFT PME path can be swapped in behind the same interface
+for very large boxes.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import ONE_4PI_EPS0, PI
+
+
+def ewald_parameters(r_cutoff: float, tolerance: float = 5e-4,
+                     box=None) -> tuple:
+    """beta and per-axis kmax from the Ewald error-tolerance formulas used by
+    OpenMM (NonbondedForceImpl::calcEwaldParameters)."""
+    beta = math.sqrt(-math.log(2.0 * tolerance)) / r_cutoff
+    kmax = (0, 0, 0)
+    if box is not None:
+        box = np.asarray(box, np.float64)
+
+        def find_k(L):
+            # smallest k with error estimate below tolerance
+            for k in range(1, 1000):
+                err = k * math.sqrt(L * beta) / 20.0 * math.exp(
+                    -((PI * k / (L * beta)) ** 2))
+                if err < tolerance:
+                    return k
+            return 1000
+
+        kmax = tuple(int(find_k(L)) for L in box)
+    return beta, kmax
+
+
+def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 4096):
+    """Exact k-space Ewald energy.  Differentiable; O(N * A*B*C) as matmuls."""
+    ax = jnp.arange(-kmax[0], kmax[0] + 1, dtype=jnp.float32)
+    ay = jnp.arange(-kmax[1], kmax[1] + 1, dtype=jnp.float32)
+    az = jnp.arange(-kmax[2], kmax[2] + 1, dtype=jnp.float32)
+    A, B, C = ax.shape[0], ay.shape[0], az.shape[0]
+    two_pi = 2.0 * PI
+    kx = two_pi * ax / box[0]
+    ky = two_pi * ay / box[1]
+    kz = two_pi * az / box[2]
+    k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
+          + kz[None, None, :] ** 2)
+    # full rectangular k-grid minus k=0; modes beyond the error-formula ball
+    # carry negligible weight and cost nothing extra inside the matmul.
+    mask = k2 > 1e-10
+    k2s = jnp.where(mask, k2, 1.0)
+    w = jnp.where(mask, jnp.exp(-k2s / (4.0 * beta * beta)) / k2s, 0.0)
+
+    n = pos.shape[0]
+    csize = min(chunk, n)
+    n_pad = ((n + csize - 1) // csize) * csize
+    pos_p = jnp.concatenate([pos, jnp.zeros((n_pad - n, 3), pos.dtype)])
+    q_p = jnp.concatenate([charges, jnp.zeros((n_pad - n,), charges.dtype)])
+
+    def chunk_S(carry, inputs):
+        p, q = inputs
+        tx = p[:, 0:1] * kx[None, :]
+        ty = p[:, 1:2] * ky[None, :]
+        tz = p[:, 2:3] * kz[None, :]
+        phix = jax.lax.complex(jnp.cos(tx), jnp.sin(tx))      # (n,A)
+        phiy = jax.lax.complex(jnp.cos(ty), jnp.sin(ty))      # (n,B)
+        phiz = jax.lax.complex(jnp.cos(tz), jnp.sin(tz))      # (n,C)
+        pxy = (q.astype(phix.dtype)[:, None, None]
+               * phix[:, :, None] * phiy[:, None, :])          # (n,A,B)
+        s = jnp.einsum("nab,nc->abc", pxy, phiz)
+        return carry + s, None
+
+    S0 = jnp.zeros((A, B, C), jnp.complex64)
+    S, _ = jax.lax.scan(chunk_S, S0,
+                        (pos_p.reshape(-1, csize, 3), q_p.reshape(-1, csize)))
+    vol = box[0] * box[1] * box[2]
+    e = (ONE_4PI_EPS0 * 2.0 * PI / vol
+         * jnp.sum(w * (jnp.real(S) ** 2 + jnp.imag(S) ** 2)))
+    return e

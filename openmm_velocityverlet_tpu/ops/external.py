@@ -1,0 +1,116 @@
+"""Auxiliary/external forces — the ommhelper ``force.py`` toolbox.
+
+Each constructor returns an energy closure ``f(pos, box) -> E`` that the
+Context adds to the total potential (forces via jax.grad).  Functional forms
+and conventions follow /root/reference/examples/ommhelper/force.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import ONE_4PI_EPS0, PI
+from ..utils.pbc import minimum_image
+
+
+def spring_self(particles, ref_positions, strength):
+    """Harmonic position restraints (force.py:51-91).
+    E = kx*dx_mi^2 + ky*dy_mi^2 + kz*dz_mi^2 with minimum-image deltas
+    (the reference uses ``periodicdistance`` per axis)."""
+    particles = jnp.asarray(particles, jnp.int32)
+    ref = jnp.asarray(np.asarray(ref_positions)[np.asarray(particles)],
+                      jnp.float32)
+    k = jnp.asarray(strength, jnp.float32)  # (3,) kJ/mol/nm^2
+
+    def energy(pos, box):
+        d = minimum_image(pos[particles] - ref, box)
+        return jnp.sum(k[None, :] * d * d)
+
+    return energy
+
+
+def wall_power(particles, axis, bound, k, cutoff, power=2):
+    """Power wall (force.py:94-141): E = k*((bound_lo+cutoff-x)/cutoff)^p when
+    below, symmetric above.  No PBC (reference ditto)."""
+    particles = jnp.asarray(particles, jnp.int32)
+    lo, hi = bound
+    lo0, hi0 = lo + cutoff, hi - cutoff
+
+    def energy(pos, box):
+        x = pos[particles, axis]
+        rmin = jnp.maximum((lo0 - x) / cutoff, 0.0)
+        rmax = jnp.maximum((x - hi0) / cutoff, 0.0)
+        return jnp.sum(k * (rmin ** power + rmax ** power))
+
+    return energy
+
+
+def wall_lj126(particles, axis, bound, epsilon, sigma):
+    """LJ-12-6 wall (force.py:144-191): E = 4 eps (r^-12 - r^-6 + 1/4) inside
+    the repulsive zone, with r = (x-bound)/sigma."""
+    particles = jnp.asarray(particles, jnp.int32)
+    lo, hi = bound
+    cut = sigma * 2.0 ** (1.0 / 6.0)
+    lo0, hi0 = lo + cut, hi - cut
+
+    def energy(pos, box):
+        x = pos[particles, axis]
+        rlo = sigma / jnp.maximum(x - lo, 1e-6)
+        rhi = sigma / jnp.maximum(hi - x, 1e-6)
+
+        def elj(r):
+            r6 = r ** 6
+            return 4.0 * epsilon * (r6 * r6 - r6 + 0.25)
+
+        e = (jnp.where(x < lo0, elj(rlo), 0.0)
+             + jnp.where(x > hi0, elj(rhi), 0.0))
+        return jnp.sum(e)
+
+    return energy
+
+
+def electric_field_force(particles, charges, strength_v_per_nm):
+    """CustomExternalForce E-field variant (force.py:194-227):
+    E = conv * (Ex q x + Ey q y + Ez q z), conv = 96.4853... kJ/mol per e*V."""
+    particles = jnp.asarray(particles, jnp.int32)
+    q = jnp.asarray(np.asarray(charges)[np.asarray(particles)], jnp.float32)
+    ef = jnp.asarray(strength_v_per_nm, jnp.float32)
+    conv = 96.4853400990037
+
+    def energy(pos, box):
+        return conv * jnp.sum(q * jnp.sum(ef[None, :] * pos[particles], -1))
+
+    return energy
+
+
+def slab_correction(charges):
+    """Yeh-Berkowitz slab correction (force.py:6-48):
+    E = 2 pi/V * C * muz^2,  muz = sum q_i z_i."""
+    q = jnp.asarray(charges, jnp.float32)
+
+    def energy(pos, box):
+        vol = box[0] * box[1] * box[2]
+        muz = jnp.sum(q * pos[:, 2])
+        return 2.0 * PI / vol * ONE_4PI_EPS0 * muz * muz
+
+    return energy
+
+
+def restrain_particle_number(particles, axis, bound, sigma, target, k,
+                             weights=None):
+    """Gaussian-smoothed particle-count restraint (force.py:285-348)."""
+    particles = jnp.asarray(particles, jnp.int32)
+    w = (jnp.ones(particles.shape, jnp.float32) if weights is None
+         else jnp.asarray(weights, jnp.float32))
+    lo, hi = bound
+    s = sigma * np.sqrt(2.0)
+
+    def energy(pos, box):
+        x = pos[particles, axis]
+        t_lo = jax.lax.erf((lo - x) / s) if lo is not None else -1.0
+        t_hi = jax.lax.erf((hi - x) / s) if hi is not None else 1.0
+        number = jnp.sum(0.5 * (t_hi - t_lo) * w)
+        return 0.5 * k * (number - target) ** 2
+
+    return energy

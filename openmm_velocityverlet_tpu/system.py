@@ -1,0 +1,199 @@
+"""System and State pytrees — the static/dynamic split of the engine.
+
+The reference splits its data between the host OpenMM ``System``/``Context``
+and per-kernel CudaArrays uploaded at init (CudaVVKernels.cpp:602-636).  Here
+everything static lives in one ``System`` pytree of device arrays and
+everything that evolves in a ``State`` pytree, so a whole MD step is a pure
+function ``state' = step(system, state)`` that XLA fuses into one program.
+
+All arrays are padded to static shapes (index -1 = padding) so the step can be
+jitted once and scanned.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+@struct.dataclass
+class System:
+    """Static description of the simulated system (the analog of OpenMM's
+    ``System`` plus the index tables each reference kernel uploads at init).
+
+    Index tables padded with -1; energy/force kernels mask on ``>= 0``.
+    """
+
+    # ---- per-particle ----
+    masses: jnp.ndarray          # (N,) f32, 0 for virtual sites
+    inv_masses: jnp.ndarray      # (N,) f32, 0 where massless
+    charges: jnp.ndarray         # (N,) f32  (PME charges)
+    lj_type: jnp.ndarray         # (N,) i32  index into acoef/bcoef
+    # OPLS tabulated geometric-rule LJ (reference oplspsffile.py:1303-1326):
+    #   E = (a/r^6)^2 - b/r^6,  a = acoef[t1,t2], b = bcoef[t1,t2]
+    acoef: jnp.ndarray           # (T,T) f32
+    bcoef: jnp.ndarray           # (T,T) f32
+
+    # ---- bonded terms (CHARMM conventions, converted to kJ/mol, nm, rad) ----
+    bonds: jnp.ndarray           # (NB,2) i32
+    bond_r0: jnp.ndarray         # (NB,)
+    bond_k: jnp.ndarray          # (NB,)  E = 0.5*k*(r-r0)^2 (k = 2*K_charmm)
+    angles: jnp.ndarray          # (NA,3) i32
+    angle_theta0: jnp.ndarray    # (NA,)
+    angle_k: jnp.ndarray         # (NA,)  E = 0.5*k*(th-th0)^2
+    ub_bonds: jnp.ndarray        # (NU,2) i32 (Urey-Bradley 1-3 springs)
+    ub_r0: jnp.ndarray           # (NU,)
+    ub_k: jnp.ndarray            # (NU,)
+    dihedrals: jnp.ndarray       # (ND,4) i32
+    dihedral_n: jnp.ndarray      # (ND,) f32 multiplicity
+    dihedral_phase: jnp.ndarray  # (ND,) rad
+    dihedral_k: jnp.ndarray      # (ND,)  E = k*(1+cos(n*phi - phase))
+    # OPLS improper: E = k*(1-cos(2*theta)) over reordered atoms
+    # (a2, a3, a1, a4) — reference oplspsffile.py:1125-1133.
+    impropers: jnp.ndarray       # (NI,4) i32
+    improper_k: jnp.ndarray      # (NI,)
+
+    # ---- nonbonded bookkeeping ----
+    # All pairs excluded from the standard direct-space interaction
+    # (1-2, 1-3, 1-4, Drude/lone-pair expansions; oplspsffile.py:1437-1476),
+    # stored per atom (both directions) so the reciprocal-space correction
+    # -q_i q_j erf(beta r)/r is a gather-only sum.
+    exclusions: jnp.ndarray      # (N,E) i32 padded -1
+    # 1-4 exceptions as per-atom tables (both directions), gather-only
+    # (oplspsffile.py:1415-1427).
+    exc_idx: jnp.ndarray         # (N,XA) i32
+    exc_qq: jnp.ndarray          # (N,XA) C*q1*q4/2 (includes ONE_4PI_EPS0)
+    exc_c6: jnp.ndarray          # (N,XA) 4*eps*sigma^6
+    exc_c12: jnp.ndarray         # (N,XA) 4*eps*sigma^12
+    # LJ long-range dispersion-correction coefficients:
+    # A2 = sum_{ti,tj} N_i N_j a_ij^2 ; B = sum N_i N_j b_ij
+    disp_coef_a2: jnp.ndarray    # ()
+    disp_coef_b: jnp.ndarray     # ()
+
+    # ---- constraints / virtual sites ----
+    constraints: jnp.ndarray     # (C,2) i32
+    constraint_dist: jnp.ndarray # (C,)
+    # LocalCoordinatesSite lone pairs (oplspsffile.py:964-992): site placed in
+    # the frame of three parents.
+    vsite_index: jnp.ndarray     # (V,) i32 site particle
+    vsite_parents: jnp.ndarray   # (V,3) i32 (p1,p2,p3)
+    vsite_origin_w: jnp.ndarray  # (V,3) origin weights
+    vsite_x_w: jnp.ndarray       # (V,3) x-direction weights
+    vsite_y_w: jnp.ndarray       # (V,3) y-direction weights
+    vsite_local: jnp.ndarray     # (V,3) local position
+
+    # ---- Drude force (oplspsffile.py:1478-1517) ----
+    drude_pairs: jnp.ndarray     # (D,2) i32 (drude, parent)
+    drude_k3: jnp.ndarray        # (D,) isotropic spring component
+    drude_k1: jnp.ndarray        # (D,) extra along p1->p2 axis
+    drude_k2: jnp.ndarray        # (D,) extra along p3->p4 axis
+    drude_aniso: jnp.ndarray     # (D,4) i32 (p1,p2,p3,p4), -1 if isotropic
+    # Thole screened dipole pairs: 4 site-pair interactions each.
+    thole_sites: jnp.ndarray     # (TP,4) i32 (drude1, parent1, drude2, parent2)
+    thole_qq: jnp.ndarray        # (TP,)  q_d1*q_d2
+    thole_screen: jnp.ndarray    # (TP,)  (t1+t2)/(alpha1*alpha2)^(1/6), 1/nm
+
+    # ---- CLPol Tang-Toennies damping (force.py:230-282) ----
+    tt_donors: jnp.ndarray       # (ND2,) i32 H-bond donor particles
+    tt_charges: jnp.ndarray      # (N,) effective charges (parents carry -q_drude)
+    tt_dipole_mask: jnp.ndarray  # (N,) bool — parent or drude of any dipole
+    tt_b: jnp.ndarray            # () damping parameter b (1/nm)
+    tt_cutoff: jnp.ndarray       # () cutoff (nm)
+
+    # ---- molecules (VVIntegrator.cpp:123-135) ----
+    particle_mol_id: jnp.ndarray # (N,) i32
+    mol_masses: jnp.ndarray      # (M,)
+    mol_inv_masses: jnp.ndarray  # (M,)
+
+    # ---- nonbonded method parameters ----
+    r_cutoff: float = struct.field(pytree_node=False, default=1.2)
+    ewald_beta: float = struct.field(pytree_node=False, default=0.0)  # 0 => plain cutoff
+    kmax: tuple = struct.field(pytree_node=False, default=(0, 0, 0))
+    use_dispersion_correction: bool = struct.field(pytree_node=False, default=True)
+    has_cm_motion_remover: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def n_atoms(self) -> int:
+        return self.masses.shape[0]
+
+    @property
+    def n_molecules(self) -> int:
+        return self.mol_masses.shape[0]
+
+    @property
+    def is_drude(self) -> bool:
+        return self.drude_pairs.shape[0] > 0
+
+
+@struct.dataclass
+class State:
+    """Everything that evolves during the simulation.
+
+    Positions use compensated (two-float) storage mirroring the reference's
+    mixed-precision posq+posqCorrection split (middle.cu:80-97): ``pos`` is the
+    fp32 value, ``pos_err`` the accumulated rounding error, so long runs do not
+    drift the way naive fp32 accumulation would.
+    """
+
+    pos: jnp.ndarray             # (N,3) f32
+    pos_err: jnp.ndarray         # (N,3) f32 compensation term
+    vel: jnp.ndarray             # (N,3) f32
+    box: jnp.ndarray             # (3,) f32 orthorhombic box lengths
+    # Nose-Hoover chain state per temperature group (TG_ATOM/TG_COM/TG_DRUDE).
+    # The reference keeps these host-side (CudaVVKernels.h:203-209); we keep
+    # them on device so the whole step stays fused.
+    nh_eta: jnp.ndarray          # (G,C) f32
+    nh_eta_dot: jnp.ndarray      # (G,C+1) f32
+    nh_eta_dotdot: jnp.ndarray   # (G,C) f32
+    rng_key: jnp.ndarray         # (2,) u32 threefry key for Langevin noise
+    step: jnp.ndarray            # () i32
+    time: jnp.ndarray            # () f32 ps
+    cos_v: jnp.ndarray           # () f32 last cosine-velocity amplitude V
+
+    @property
+    def positions(self) -> jnp.ndarray:
+        """Full-precision positions (pos + accumulated correction)."""
+        return self.pos + self.pos_err
+
+
+def make_state(positions, box, velocities=None, n_temp_groups: int = 3,
+               num_nh_chains: int = 3, seed: int = 0) -> State:
+    """Create a fresh State (velocities default to zero)."""
+    pos = jnp.asarray(positions, f32)
+    n = pos.shape[0]
+    vel = (jnp.zeros((n, 3), f32) if velocities is None
+           else jnp.asarray(velocities, f32))
+    return State(
+        pos=pos,
+        pos_err=jnp.zeros_like(pos),
+        vel=vel,
+        box=jnp.asarray(box, f32),
+        nh_eta=jnp.zeros((n_temp_groups, num_nh_chains), f32),
+        nh_eta_dot=jnp.zeros((n_temp_groups, num_nh_chains + 1), f32),
+        nh_eta_dotdot=jnp.zeros((n_temp_groups, num_nh_chains), f32),
+        rng_key=jax.random.PRNGKey(seed),
+        step=jnp.zeros((), i32),
+        time=jnp.zeros((), f32),
+        cos_v=jnp.zeros((), f32),
+    )
+
+
+def set_velocities_to_temperature(system: System, state: State, temperature: float,
+                                  seed: int = 12345) -> State:
+    """Draw Maxwell-Boltzmann velocities (massless particles get zero).
+
+    Mirrors OpenMM Context.setVelocitiesToTemperature as used by
+    run-bulk.py:86.
+    """
+    from .units import BOLTZ
+    key = jax.random.PRNGKey(seed)
+    n = system.n_atoms
+    sigma = jnp.sqrt(BOLTZ * temperature * system.inv_masses)[:, None]
+    vel = sigma * jax.random.normal(key, (n, 3), f32)
+    return state.replace(vel=vel)
