@@ -1,0 +1,341 @@
+"""Simulation driver + reporter framework (app layer, SURVEY.md L4/L5).
+
+Mirrors OpenMM's app.Simulation semantics the reference workloads rely on:
+reporters declare their next report step (describeNextReport) and the driver
+advances the context in device-resident chunks to the next report boundary —
+the TPU analog of the reference's reporter scheduling, with the scan chunk
+replacing the per-step Python loop.
+"""
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .context import Context
+from .units import BOLTZ, ns_per_day
+
+
+class Simulation:
+    def __init__(self, topology, context: Context):
+        self.topology = topology
+        self.context = context
+        self.reporters: List = []
+
+    @property
+    def integrator(self):
+        return self.context.integrator
+
+    @property
+    def current_step(self):
+        return self.context.current_step
+
+    # OpenMM-compat alias
+    @property
+    def currentStep(self):
+        return self.context.current_step
+
+    def step(self, n: int):
+        remaining = n
+        while remaining > 0:
+            next_stops = [r.describeNextReport(self) for r in self.reporters]
+            chunk = min([remaining] + [s for s in next_stops if s > 0])
+            self.context.step(int(chunk))
+            remaining -= chunk
+            for r, stop in zip(self.reporters, next_stops):
+                if stop <= chunk:
+                    r.report(self)
+
+    def save_checkpoint(self, filename):
+        save_checkpoint(self.context, filename)
+
+    def load_checkpoint(self, filename):
+        load_checkpoint(self.context, filename)
+
+    def minimize_energy(self, tolerance=10.0, max_iterations=500):
+        """Simple steepest-descent/line-search minimizer (util.py minimize
+        parity — OpenMM uses L-BFGS; SD with backtracking is sufficient for
+        relaxing clashes before dynamics)."""
+        import jax
+        import jax.numpy as jnp
+        ctx = self.context
+        if ctx._carry is None:
+            ctx._carry = ctx._make_carry()
+        ev = ctx.evaluator
+        nbr_idx = ctx._carry.nbrs.idx
+
+        @jax.jit
+        def e_and_f(pos, box):
+            terms, f = ev.energy_forces(pos, box, nbr_idx)
+            return sum(terms.values()), f
+
+        pos = ctx.state.pos
+        box = ctx.state.box
+        e, f = e_and_f(pos, box)
+        alpha = 1e-6
+        for it in range(max_iterations):
+            fnorm = jnp.sqrt(jnp.sum(f * f))
+            if float(fnorm) < tolerance * ctx.system.n_atoms ** 0.5:
+                break
+            step = jnp.clip(alpha * f, -0.02, 0.02)
+            new_pos = pos + step
+            e_new, f_new = e_and_f(new_pos, box)
+            if float(e_new) < float(e):
+                pos, e, f = new_pos, e_new, f_new
+                alpha *= 1.2
+            else:
+                alpha *= 0.5
+        ctx.set_positions(pos)
+        return float(e)
+
+
+# --------------------------------------------------------------- checkpoint
+def save_checkpoint(context: Context, filename):
+    """Full-state checkpoint: positions, velocities, box, NH chains, PRNG key,
+    step/time — fixing the reference's caveat that NH chain state is lost on
+    resume (SURVEY.md section 5.4)."""
+    import jax
+    st = context.state
+    data = {k: np.asarray(v) for k, v in vars(st).items()}
+    with open(filename, "wb") as f:
+        pickle.dump({"state": data, "version": 1}, f)
+
+
+def load_checkpoint(context: Context, filename):
+    import jax.numpy as jnp
+    with open(filename, "rb") as f:
+        blob = pickle.load(f)
+    st = context.state
+    fields = {k: jnp.asarray(v) for k, v in blob["state"].items()}
+    context.state = st.replace(**fields)
+    context._carry = None
+
+
+# ----------------------------------------------------------------- reporters
+class _BaseReporter:
+    def __init__(self, file, report_interval, append=False):
+        self._interval = int(report_interval)
+        if hasattr(file, "write"):
+            self._out = file
+            self._own = False
+        else:
+            self._out = open(file, "a" if append else "w")
+            self._own = True
+        self._initialized = False
+
+    def interval(self, simulation):
+        return self._interval
+
+    def describeNextReport(self, simulation):
+        return self._interval - simulation.current_step % self._interval
+
+    def _flush(self):
+        if hasattr(self._out, "flush"):
+            self._out.flush()
+
+    def __del__(self):
+        try:
+            if self._own:
+                self._out.close()
+        except Exception:
+            pass
+
+
+class StateDataReporter(_BaseReporter):
+    """Energy/temperature/volume/density/speed columns
+    (reference: ommhelper/reporter/statedatareporter.py)."""
+
+    def __init__(self, file, report_interval, volume=False, density=True,
+                 box=True, append=False):
+        super().__init__(file, report_interval, append)
+        self._volume = volume
+        self._density = density
+        self._box = box
+        self._last_time = None
+        self._last_sim_time = None
+
+    def report(self, simulation):
+        ctx = simulation.context
+        if not self._initialized:
+            cols = ['#"Step"', '"Time (ps)"', '"Potential Energy (kJ/mole)"',
+                    '"Kinetic Energy (kJ/mole)"', '"Total Energy (kJ/mole)"',
+                    '"Temperature (K)"']
+            if self._box:
+                cols += ['"Box"']
+            if self._volume:
+                cols += ['"Volume (nm^3)"']
+            if self._density:
+                cols += ['"Density (g/mL)"']
+            cols += ['"Speed (ns/day)"']
+            print("\t".join(cols), file=self._out)
+            self._initialized = True
+        epot = ctx.potential_energy()
+        ekin = ctx.kinetic_energy()
+        if not (math.isfinite(epot) and math.isfinite(ekin)):
+            raise RuntimeError(
+                "Simulation blew up: energy is NaN/inf "
+                "(statedatareporter.py:375-388 error check)")
+        sysm = ctx.system
+        n_cons = sysm.constraints.shape[0]
+        n_massive = int(np.sum(np.asarray(sysm.masses) > 0))
+        dof = 3 * n_massive - n_cons - (3 if sysm.has_cm_motion_remover else 0)
+        temp = 2 * ekin / (dof * BOLTZ)
+        box = ctx.get_box()
+        vol = float(box[0] * box[1] * box[2])
+        now = time.time()
+        speed = 0.0
+        if self._last_time is not None:
+            dt_wall = now - self._last_time
+            dt_sim = ctx.time - self._last_sim_time
+            if dt_wall > 0:
+                speed = dt_sim / 1000.0 * 86400.0 / dt_wall
+        self._last_time = now
+        self._last_sim_time = ctx.time
+        vals = [str(ctx.current_step), f"{ctx.time:.3f}", f"{epot:.2f}",
+                f"{ekin:.2f}", f"{epot + ekin:.2f}", f"{temp:.2f}"]
+        if self._box:
+            vals += [f"{box[0]:.4f}x{box[1]:.4f}x{box[2]:.4f}"]
+        if self._volume:
+            vals += [f"{vol:.4f}"]
+        if self._density:
+            mass_g = float(np.sum(np.asarray(sysm.masses)))  # g/mol
+            dens = mass_g / 6.02214076e23 / (vol * 1e-21)    # g/mL
+            vals += [f"{dens:.4f}"]
+        vals += [f"{speed:.1f}"]
+        print("\t".join(vals), file=self._out)
+        self._flush()
+
+
+class DrudeTemperatureReporter(_BaseReporter):
+    """T_COM / T_atom / T_Drude partition — the independent NumPy re-derivation
+    the reference uses as its thermostat oracle
+    (drudetemperaturereporter.py:96-133)."""
+
+    def report(self, simulation):
+        ctx = simulation.context
+        sysm = ctx.system
+        if not self._initialized:
+            print('#"Step"\t"T_COM"\t"T_Atom"\t"T_Drude"\t"KE_COM"\t"KE_Atom"'
+                  '\t"KE_Drude"', file=self._out)
+            masses = np.asarray(sysm.masses)
+            self.mol_id = np.asarray(sysm.particle_mol_id)
+            self.mol_mass = np.asarray(sysm.mol_masses)
+            self.dof_com = int(np.count_nonzero(self.mol_mass)) * 3
+            self.dof_atom = int(np.sum(masses > 0)) * 3
+            self.dof_atom -= self.dof_com + sysm.constraints.shape[0]
+            if sysm.has_cm_motion_remover:
+                self.dof_com -= 3
+            nd = sysm.drude_pairs.shape[0]
+            self.dof_atom -= 3 * nd
+            self.dof_drude = 3 * nd
+            self._initialized = True
+        masses = np.asarray(sysm.masses)
+        vel = ctx.get_velocities()
+        mol_vel = np.zeros((len(self.mol_mass), 3))
+        np.add.at(mol_vel, self.mol_id, masses[:, None] * vel)
+        nonzero = self.mol_mass > 0
+        mol_vel[nonzero] /= self.mol_mass[nonzero][:, None]
+        ke_com = 0.5 * float(np.sum(self.mol_mass * (mol_vel ** 2).sum(-1)))
+        vel = vel - mol_vel[self.mol_id]
+        pairs = np.asarray(sysm.drude_pairs)
+        m = masses.copy()
+        if len(pairs):
+            d, p = pairs[:, 0], pairs[:, 1]
+            m1, m2 = masses[d], masses[p]
+            mc = m1 + m2
+            v_cm = (m1[:, None] * vel[d] + m2[:, None] * vel[p]) / mc[:, None]
+            v_rel = vel[d] - vel[p]
+            vel[d] = v_rel
+            vel[p] = v_cm
+            m[d] = m1 * m2 / mc
+            m[p] = mc
+        mvv = m * (vel ** 2).sum(-1)
+        drude_set = set(int(x) for x in (pairs[:, 0] if len(pairs) else []))
+        is_drude = np.zeros(len(m), bool)
+        if len(pairs):
+            is_drude[pairs[:, 0]] = True
+        ke_drude = 0.5 * float(mvv[is_drude].sum())
+        ke_atom = 0.5 * float(mvv[~is_drude].sum())
+        t_com = 2 * ke_com / (self.dof_com * BOLTZ) if self.dof_com else 0.0
+        t_atom = 2 * ke_atom / (self.dof_atom * BOLTZ) if self.dof_atom else 0.0
+        t_drude = 2 * ke_drude / (self.dof_drude * BOLTZ) if self.dof_drude else 0.0
+        print(f"{simulation.current_step}\t{t_com:.4f}\t{t_atom:.4f}\t"
+              f"{t_drude:.4f}\t{ke_com:.4f}\t{ke_atom:.4f}\t{ke_drude:.4f}",
+              file=self._out)
+        self._flush()
+
+
+class ViscosityReporter(_BaseReporter):
+    """Periodic-perturbation viscosity (viscosityreporter.py:54-72)."""
+
+    def report(self, simulation):
+        ctx = simulation.context
+        if not self._initialized:
+            print('#"Step"\t"Acceleration (nm/ps^2)"\t"VelocityAmplitude '
+                  '(nm/ps)"\t"1/Viscosity (1/Pa.s)"', file=self._out)
+            self._initialized = True
+        acc = ctx.integrator.getCosAcceleration()
+        vmax, inv_vis = ctx.get_viscosity()
+        print(f"{simulation.current_step}\t{acc}\t{vmax}\t{inv_vis}",
+              file=self._out)
+        self._flush()
+
+
+class GroReporter(_BaseReporter):
+    """GRO trajectory with optional logarithmic spacing
+    (groreporter.py:46-72)."""
+
+    def __init__(self, file, report_interval, logarithm=False, subset=None,
+                 report_velocity=False, append=False):
+        super().__init__(file, report_interval, append)
+        self._log = logarithm
+        self._subset = subset
+        self._vel = report_velocity
+
+    def describeNextReport(self, simulation):
+        if self._log:
+            step = simulation.current_step
+            base = (self._interval if step < self._interval
+                    else 10 ** math.floor(math.log10(step)))
+            return base - step % base
+        return super().describeNextReport(simulation)
+
+    def report(self, simulation):
+        from .models.grofile import GroFile
+        ctx = simulation.context
+        GroFile.writeFile(simulation.topology, ctx.get_positions(),
+                          ctx.get_box(), self._out, time=ctx.time,
+                          subset=self._subset,
+                          velocities=ctx.get_velocities() if self._vel else None)
+        self._flush()
+
+
+class CheckpointReporter(_BaseReporter):
+    """Step-suffixed checkpoints, keep last 3 (checkpointreporter.py:52-79)."""
+
+    def __init__(self, file, report_interval):
+        self._interval = int(report_interval)
+        self._file = file
+        self._initialized = True
+        self._own = False
+
+    def describeNextReport(self, simulation):
+        return self._interval - simulation.current_step % self._interval
+
+    def interval(self, simulation):
+        return self._interval
+
+    def report(self, simulation):
+        step = simulation.current_step
+        save_checkpoint(simulation.context, f"{self._file}_{step}")
+        prev = f"{self._file}_{step - 3 * self._interval}"
+        if os.path.exists(prev):
+            os.remove(prev)
+
+    def __del__(self):
+        pass

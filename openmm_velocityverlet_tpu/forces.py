@@ -72,7 +72,7 @@ class ForceEvaluator:
 
         e_lj, e_coul_dir, f_direct = nonbonded.direct_space(
             pos, box, nbr_idx, s.charges, s.lj_type, s.acoef, s.bcoef,
-            s.ewald_beta, s.r_cutoff)
+            s.ewald_beta, s.r_cutoff, s.lj_group, s.lj_group_allowed)
         e_corr, f_corr = nonbonded.exclusion_correction(
             pos, box, s.exclusions, s.charges, s.ewald_beta)
         e_exc_q, e_exc_lj, f_exc = nonbonded.exception_terms(

@@ -64,6 +64,8 @@ class SystemBuilder:
         self.use_dispersion_correction = True
         self.remove_cm_motion = True
         self.extra_molecule_links: list = []  # e.g. run-edl fake bonds
+        self.lj_group: 'Optional[np.ndarray]' = None       # (N,) int
+        self.lj_group_allowed: 'Optional[np.ndarray]' = None  # (G,G) bool
 
     # ------------------------------------------------------------ atoms
     def add_particle(self, mass, charge=0.0, lj_type=0):
@@ -289,6 +291,12 @@ class SystemBuilder:
             masses=farr(masses), inv_masses=farr(inv_masses),
             charges=farr(charges), lj_type=jnp.asarray(lj_type),
             acoef=farr(self.acoef), bcoef=farr(self.bcoef),
+            lj_group=(jnp.asarray(np.asarray(self.lj_group, np.int32))
+                      if self.lj_group is not None
+                      else jnp.zeros(n, jnp.int32)),
+            lj_group_allowed=(jnp.asarray(np.asarray(self.lj_group_allowed, bool))
+                              if self.lj_group_allowed is not None
+                              else jnp.ones((1, 1), bool)),
             bonds=iarr(bonds), bond_r0=farr([b[2] for b in self.bonds]),
             bond_k=farr([b[3] for b in self.bonds]),
             angles=iarr(angles), angle_theta0=farr([a[3] for a in self.angles]),

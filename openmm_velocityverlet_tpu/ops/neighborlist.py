@@ -39,7 +39,7 @@ class NeighborListConfig:
     cell_capacity: int = struct.field(pytree_node=False)  # M
     capacity: int = struct.field(pytree_node=False)       # K
     max_exclusions: int = struct.field(pytree_node=False)
-    chunk: int = struct.field(pytree_node=False, default=8192)
+    chunk: int = struct.field(pytree_node=False, default=1024)
 
 
 @struct.dataclass
@@ -130,7 +130,14 @@ def build(pos, box, exclusions, cfg: NeighborListConfig) -> NeighborList:
         out = out.at[rows.reshape(-1), dest.reshape(-1)].max(
             jnp.where(mask, cand, -1).reshape(-1), mode="drop")
         n_found = jnp.sum(mask, axis=1)
-        return out[:, :K], n_found
+        out = out[:, :K]
+        # Mark excluded pairs with -1 here, inside the chunk, so the (B,K,E)
+        # comparison never materializes at (N,K,E) scale.
+        if exclusions.shape[1] > 0:
+            excl = exclusions[idx_chunk]                      # (B,E)
+            is_excl = jnp.any(out[:, :, None] == excl[:, None, :], axis=-1)
+            out = jnp.where(is_excl & (out >= 0), -1, out)
+        return out, n_found
 
     chunk = min(cfg.chunk, n)
     n_pad = ((n + chunk - 1) // chunk) * chunk
@@ -141,12 +148,6 @@ def build(pos, box, exclusions, cfg: NeighborListConfig) -> NeighborList:
     idx = idx_all.reshape(n_pad, K)[:n]
     n_found = nf_all.reshape(n_pad)[:n]
     list_overflow = jnp.max(n_found) > K
-
-    # Mark excluded pairs with -1 (E small; done once per rebuild).
-    if exclusions.shape[1] > 0:
-        excl = exclusions  # (N,E)
-        is_excl = jnp.any(idx[:, :, None] == excl[:, None, :], axis=-1) & (idx >= 0)
-        idx = jnp.where(is_excl, -1, idx)
 
     return NeighborList(
         idx=idx, ref_pos=pos,

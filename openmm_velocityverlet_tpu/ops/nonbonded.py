@@ -33,7 +33,7 @@ _EPS = 1e-12
 
 
 def direct_space(pos, box, nbr_idx, charges, lj_type, acoef, bcoef,
-                 beta, r_cutoff):
+                 beta, r_cutoff, lj_group=None, lj_group_allowed=None):
     """LJ + Ewald-direct Coulomb over a (N,K) neighbor list.
 
     Returns (E_lj, E_coul, F) — the list stores both pair directions, so
@@ -56,6 +56,10 @@ def direct_space(pos, box, nbr_idx, charges, lj_type, acoef, bcoef,
     tj = lj_type[j]
     a = acoef[ti, tj]
     b = bcoef[ti, tj]
+    if lj_group is not None and lj_group_allowed.shape[0] > 1:
+        allowed = lj_group_allowed[lj_group[:, None], lj_group[j]]
+        a = jnp.where(allowed, a, 0.0)
+        b = jnp.where(allowed, b, 0.0)
     inv_r6 = inv_r2 * inv_r2 * inv_r2
     inv_r12 = inv_r6 * inv_r6
     e_lj = a * a * inv_r12 - b * inv_r6

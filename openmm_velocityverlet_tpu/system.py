@@ -39,6 +39,11 @@ class System:
     #   E = (a/r^6)^2 - b/r^6,  a = acoef[t1,t2], b = bcoef[t1,t2]
     acoef: jnp.ndarray           # (T,T) f32
     bcoef: jnp.ndarray           # (T,T) f32
+    # CustomNonbondedForce interaction groups (run-edl.py:57-64 uses them to
+    # remove image<->electrode and image<->image LJ): pair (i,j) interacts via
+    # LJ iff lj_group_allowed[lj_group[i], lj_group[j]].
+    lj_group: jnp.ndarray        # (N,) i32 (all zeros when unused)
+    lj_group_allowed: jnp.ndarray  # (G,G) bool
 
     # ---- bonded terms (CHARMM conventions, converted to kJ/mol, nm, rad) ----
     bonds: jnp.ndarray           # (NB,2) i32
