@@ -73,6 +73,7 @@ class Context:
                 capacity=neighbor_capacity,
                 max_exclusions=system.exclusions.shape[1])
 
+        self.rebuild_interval = 10 if not self.dense_neighbors else 1_000_000
         self.state: State = make_state(
             np.zeros((n, 3), np.float32) if positions is None else positions,
             box, num_nh_chains=integrator.num_nh_chains,
@@ -177,21 +178,48 @@ class Context:
         return v, inv_vis_md * 6.02214076e5
 
     def step(self, n: int):
+        """Advance n steps.  Neighbor rebuilds run at a fixed host-side
+        cadence (``rebuild_interval``) as a separate compiled program — the
+        step program itself stays small and cond-free; a displacement check
+        at each rebuild verifies the skin covered the interval."""
         if self._carry is None:
             self._carry = self._make_carry()
-        fn = self._get_compiled("step_n")
-        self._carry = fn(self._carry, jnp.asarray(n, i32))
+        step_fn = self._get_compiled("step_n")
+        rebuild = self._get_compiled("rebuild")
+        remaining = int(n)
+        while remaining > 0:
+            chunk = min(remaining, self.rebuild_interval)
+            self._carry = self._carry.replace(
+                nbrs=rebuild(self._carry.state, self._carry.nbrs))
+            self._carry = step_fn(self._carry, jnp.asarray(chunk, i32))
+            remaining -= chunk
         self.state = self._carry.state
-        if bool(self._carry.nbrs.did_overflow):
+        nbrs = self._carry.nbrs
+        if bool(nbrs.did_overflow):
             raise RuntimeError(
                 "neighbor list overflow — increase capacity (re-create the "
                 "Context with a larger neighbor_capacity)")
+        if not self.dense_neighbors:
+            checked = nbl.check_rebuild(nbrs, self.state.pos, self.state.box,
+                                        self.nbr_cfg)
+            if bool(checked.needs_rebuild):
+                # skin was outrun within a chunk: halve the cadence
+                self.rebuild_interval = max(1, self.rebuild_interval // 2)
 
     # ------------------------------------------------------ compiled fns
     def _get_compiled(self, name):
         if name in self._compiled:
             return self._compiled[name]
-        if name == "energy":
+        if name == "rebuild":
+            def rebuild(state, nbrs):
+                if self.dense_neighbors:
+                    return nbrs
+                new = nbl.build(state.pos, state.box, self.system.exclusions,
+                                self.nbr_cfg)
+                return new.replace(
+                    did_overflow=new.did_overflow | nbrs.did_overflow)
+            fn = jax.jit(rebuild)
+        elif name == "energy":
             def energy(state, nbr_idx):
                 terms, _ = self.evaluator.energy_forces(state.pos, state.box,
                                                         nbr_idx)
@@ -301,7 +329,7 @@ class Context:
         def step_middle(carry: Carry) -> Carry:
             carry, _ = update_context_state(carry)
             st = carry.state
-            nbrs = self._maybe_rebuild(carry.nbrs, st.pos, st.box)
+            nbrs = carry.nbrs
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
             _, F = ev.energy_forces(pos, box, nbrs.idx)
@@ -342,7 +370,7 @@ class Context:
         def step_vv(carry: Carry) -> Carry:
             carry, invalidated = update_context_state(carry)
             st = carry.state
-            nbrs = self._maybe_rebuild(carry.nbrs, st.pos, st.box)
+            nbrs = carry.nbrs
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
             def recompute(_):
