@@ -18,12 +18,16 @@ ctx = Context(built.system, integ, positions=gro.positions, box=gro.box)
 mark("Context")
 ctx.set_velocities_to_temperature(333.0)
 mark("set_velocities")
+import jax
 ctx.step(1)
+jax.block_until_ready(ctx._carry.state.pos)
 mark("first step (compile)")
 ctx.step(19)
+jax.block_until_ready(ctx._carry.state.pos)
 mark("19 more steps")
-t0=time.time(); ctx.step(200); dt=time.time()-t0
-sps=200/dt
-mark(f"200 steps: {dt:.2f}s -> {sps:.1f} steps/s = {sps*0.001*86400/1000:.1f} ns/day")
-T = ctx.get_temperatures()
-mark(f"temperatures: {T}")
+t0=time.time(); ctx.step(500); jax.block_until_ready(ctx._carry.state.pos); dt=time.time()-t0
+sps=500/dt
+mark(f"500 steps: {dt:.2f}s -> {sps:.1f} steps/s = {sps*0.001*86400/1000:.1f} ns/day")
+ke = ctx.kinetic_energy()
+ep = ctx.potential_energy_terms()
+mark(f"KE={ke:.1f}  PE terms: " + " ".join(f"{k}={v:.1f}" for k,v in ep.items()))

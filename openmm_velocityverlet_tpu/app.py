@@ -64,14 +64,11 @@ class Simulation:
         import jax
         import jax.numpy as jnp
         ctx = self.context
-        if ctx._carry is None:
-            ctx._carry = ctx._make_carry()
         ev = ctx.evaluator
-        nbr_idx = ctx._carry.nbrs.idx
 
         @jax.jit
         def e_and_f(pos, box):
-            terms, f = ev.energy_forces(pos, box, nbr_idx)
+            terms, f = ev.energy_forces(pos, box)
             return sum(terms.values()), f
 
         pos = ctx.state.pos

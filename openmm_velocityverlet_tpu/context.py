@@ -6,10 +6,18 @@ This is the analog of OpenMM's Context plus the reference's step orchestration
 ``step(n)`` is a single device program (jit + lax.fori_loop): force evaluation,
 extra forces, kicks/drifts, constraints, TGNH chain, hard wall, image sync and
 the barostat all fuse with zero host synchronization per step.
+
+TPU-tunnel-aware design notes (measured on the axon transport):
+* host->device transfers cost ~100 ms each regardless of size, so every
+  static table stays host numpy and embeds as a compile-time constant;
+* TPU gathers with *constant* indices compile to a fast pre-scheduled form
+  (~15x faster than dynamic-index gathers), which the constant embedding
+  also buys us;
+* the nonbonded hot loop is the dense all-pairs sweep (ops/allpairs.py) —
+  no neighbor list, no rebuild cadence, no overflow handling.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -22,7 +30,6 @@ from .integrators import barostat as baro_mod
 from .integrators import stepping
 from .integrators.vv import IntegratorData, VVIntegrator
 from .ops import constraints as cons_mod
-from .ops import neighborlist as nbl
 from .system import State, System, make_state
 from .units import BOLTZ
 
@@ -33,7 +40,6 @@ i32 = jnp.int32
 @struct.dataclass
 class Carry:
     state: State
-    nbrs: nbl.NeighborList
     baro: baro_mod.BarostatState
     forces: jnp.ndarray        # (N,3) cached FF forces (VV scheme carry)
     forces_extra: jnp.ndarray  # (N,3) cached extra forces (VV scheme carry)
@@ -44,14 +50,14 @@ class Context:
     def __init__(self, system: System, integrator: VVIntegrator,
                  external_forces: Sequence = (),
                  barostat: Optional[baro_mod.BarostatConfig] = None,
-                 positions=None, box=None, skin: float = 0.12,
-                 neighbor_capacity: Optional[int] = None,
-                 ewald_chunk: int = 4096):
+                 positions=None, box=None, row_block: int = 1024,
+                 ewald_chunk: int = 4096, **_legacy):
         self.system = system
         self.integrator = integrator
         self.data: IntegratorData = integrator.build_data(system)
         self.evaluator = ForceEvaluator(system, external_forces,
-                                        ewald_chunk=ewald_chunk)
+                                        ewald_chunk=ewald_chunk,
+                                        row_block=row_block)
         self.barostat_cfg = barostat
         if box is None:
             raise ValueError("box is required")
@@ -63,47 +69,23 @@ class Context:
             np.asarray(system.inv_masses),
             tolerance=integrator.constraint_tolerance)
 
-        # neighbor strategy: dense all-pairs for small systems
-        self.dense_neighbors = n <= 600
-        if self.dense_neighbors:
-            self.nbr_cfg = None
-        else:
-            self.nbr_cfg = nbl.make_config(
-                box, system.r_cutoff, skin=skin, n_atoms=n,
-                capacity=neighbor_capacity,
-                max_exclusions=system.exclusions.shape[1])
-
-        self.rebuild_interval = 10 if not self.dense_neighbors else 1_000_000
         self.state: State = make_state(
             np.zeros((n, 3), np.float32) if positions is None else positions,
             box, num_nh_chains=integrator.num_nh_chains,
             seed=integrator.random_number_seed)
         self._carry: Optional[Carry] = None
         self._compiled = {}
+        self._chunk_scalars = {}
         if positions is not None:
             self.set_positions(positions)
 
     # ------------------------------------------------------------- helpers
-    def _fresh_nbrs(self, pos, box):
-        if self.dense_neighbors:
-            nb = nbl.dense_neighbor_list(self.system.n_atoms)
-            nb = nbl.apply_exclusions(nb, self.system.exclusions)
-            return nb.replace(ref_pos=pos)
-        return nbl.build(pos, box, self.system.exclusions, self.nbr_cfg)
-
-    def _maybe_rebuild(self, nbrs, pos, box):
-        if self.dense_neighbors:
-            return nbrs
-        return nbl.maybe_rebuild(nbrs, pos, box, self.system.exclusions,
-                                 self.nbr_cfg)
-
     def _make_carry(self):
         st = self.state
-        nbrs = jax.jit(self._fresh_nbrs)(st.pos, st.box)
         vol = float(st.box[0] * st.box[1] * st.box[2])
         baro = baro_mod.make_barostat_state(vol)
         n = self.system.n_atoms
-        return Carry(state=st, nbrs=nbrs, baro=baro,
+        return Carry(state=st, baro=baro,
                      forces=jnp.zeros((n, 3), f32),
                      forces_extra=jnp.zeros((n, 3), f32),
                      forces_valid=jnp.zeros((), bool))
@@ -123,7 +105,9 @@ class Context:
 
     def set_velocities_to_temperature(self, temperature, seed=12345):
         key = jax.random.PRNGKey(seed)
-        sigma = jnp.sqrt(BOLTZ * temperature * self.system.inv_masses)[:, None]
+        sigma = np.sqrt(
+            BOLTZ * temperature * np.asarray(self.system.inv_masses,
+                                             np.float32))[:, None]
         vel = sigma * jax.random.normal(key, (self.system.n_atoms, 3), f32)
         self.set_velocities(vel)
 
@@ -146,13 +130,11 @@ class Context:
 
     def kinetic_energy(self):
         return float(stepping.kinetic_energy(self.state.vel,
-                                             self.system.masses))
+                                             jnp.asarray(self.system.masses)))
 
     def potential_energy_terms(self):
-        if self._carry is None:
-            self._carry = self._make_carry()
         fn = self._get_compiled("energy")
-        terms = fn(self._carry.state, self._carry.nbrs.idx)
+        terms = fn(self.state)
         return {k: float(v) for k, v in terms.items()}
 
     def potential_energy(self):
@@ -163,72 +145,42 @@ class Context:
             self.potential_energy_terms()).items()}
 
     def get_forces(self):
-        if self._carry is None:
-            self._carry = self._make_carry()
         fn = self._get_compiled("forces")
-        return np.asarray(fn(self._carry.state, self._carry.nbrs.idx))
+        return np.asarray(fn(self.state))
 
     def get_viscosity(self):
         """(vMax nm/ps, 1/viscosity in 1/(Pa s)) — VVIntegrator::getViscosity
         (VVIntegrator.cpp:378-383) with the SWIG unit conversion applied."""
         v = float(self.state.cos_v)
         inv_vis_md = float(stepping.inverse_viscosity(
-            jnp.asarray(v), self.state.box, self.system.masses,
+            jnp.asarray(v), self.state.box, jnp.asarray(self.system.masses),
             self.data.cos_acceleration)) if self.data.cos_acceleration else 0.0
         return v, inv_vis_md * 6.02214076e5
 
     def step(self, n: int):
-        """Advance n steps.  Neighbor rebuilds run at a fixed host-side
-        cadence (``rebuild_interval``) as a separate compiled program — the
-        step program itself stays small and cond-free; a displacement check
-        at each rebuild verifies the skin covered the interval."""
+        """Advance n steps as one device program (no host round-trips)."""
         if self._carry is None:
             self._carry = self._make_carry()
-        step_fn = self._get_compiled("step_n")
-        rebuild = self._get_compiled("rebuild")
-        remaining = int(n)
-        while remaining > 0:
-            chunk = min(remaining, self.rebuild_interval)
-            self._carry = self._carry.replace(
-                nbrs=rebuild(self._carry.state, self._carry.nbrs))
-            self._carry = step_fn(self._carry, jnp.asarray(chunk, i32))
-            remaining -= chunk
+        fn = self._get_compiled("step_n")
+        n = int(n)
+        # cache the device scalar: a fresh host scalar costs a ~100 ms upload
+        if n not in self._chunk_scalars:
+            self._chunk_scalars[n] = jnp.asarray(n, i32)
+        self._carry = fn(self._carry, self._chunk_scalars[n])
         self.state = self._carry.state
-        nbrs = self._carry.nbrs
-        if bool(nbrs.did_overflow):
-            raise RuntimeError(
-                "neighbor list overflow — increase capacity (re-create the "
-                "Context with a larger neighbor_capacity)")
-        if not self.dense_neighbors:
-            checked = nbl.check_rebuild(nbrs, self.state.pos, self.state.box,
-                                        self.nbr_cfg)
-            if bool(checked.needs_rebuild):
-                # skin was outrun within a chunk: halve the cadence
-                self.rebuild_interval = max(1, self.rebuild_interval // 2)
 
     # ------------------------------------------------------ compiled fns
     def _get_compiled(self, name):
         if name in self._compiled:
             return self._compiled[name]
-        if name == "rebuild":
-            def rebuild(state, nbrs):
-                if self.dense_neighbors:
-                    return nbrs
-                new = nbl.build(state.pos, state.box, self.system.exclusions,
-                                self.nbr_cfg)
-                return new.replace(
-                    did_overflow=new.did_overflow | nbrs.did_overflow)
-            fn = jax.jit(rebuild)
-        elif name == "energy":
-            def energy(state, nbr_idx):
-                terms, _ = self.evaluator.energy_forces(state.pos, state.box,
-                                                        nbr_idx)
+        if name == "energy":
+            def energy(state):
+                terms, _ = self.evaluator.energy_forces(state.pos, state.box)
                 return terms
             fn = jax.jit(energy)
         elif name == "forces":
-            def forces(state, nbr_idx):
-                _, f = self.evaluator.energy_forces(state.pos, state.box,
-                                                    nbr_idx)
+            def forces(state):
+                _, f = self.evaluator.energy_forces(state.pos, state.box)
                 return f
             fn = jax.jit(forces)
         elif name == "step_n":
@@ -250,8 +202,8 @@ class Context:
         ev = self.evaluator
         cons = self.cons
         dt = data.dt
-        masses = sysm.masses
-        inv_m = sysm.inv_masses
+        masses = np.asarray(sysm.masses)
+        inv_m = np.asarray(sysm.inv_masses)
         has_nh = (data.nh_normal.shape[0] + data.nh_pairs.shape[0]) > 0
         has_ld = (data.ld_normal.shape[0] + data.ld_pairs.shape[0]) > 0
         has_ef = data.electrolyte.shape[0] > 0 and data.electric_field != 0
@@ -295,7 +247,7 @@ class Context:
             st = carry.state
             if sysm.has_cm_motion_remover:
                 mom = jnp.sum(masses[:, None] * st.vel, 0)
-                vcm = mom / jnp.sum(masses)
+                vcm = mom / np.sum(masses)
                 vel = jnp.where(inv_m[:, None] > 0, st.vel - vcm, st.vel)
                 st = st.replace(vel=vel)
             invalidated = jnp.zeros((), bool)
@@ -304,7 +256,7 @@ class Context:
                     st, bst = args
 
                     def efn(pos, box):
-                        terms, _ = ev.energy_forces(pos, box, carry.nbrs.idx)
+                        terms, _ = ev.energy_forces(pos, box)
                         return sum(terms.values())
 
                     acc, pos, box, bst = baro_mod.attempt_move(
@@ -329,10 +281,9 @@ class Context:
         def step_middle(carry: Carry) -> Carry:
             carry, _ = update_context_state(carry)
             st = carry.state
-            nbrs = carry.nbrs
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
-            _, F = ev.energy_forces(pos, box, nbrs.idx)
+            _, F = ev.energy_forces(pos, box)
             key, k_l = jax.random.split(st.rng_key)
             if has_extra:
                 F = F + extra_forces(pos, vel, box, k_l)
@@ -364,17 +315,16 @@ class Context:
                 new_pos = img_pos
             st = st.replace(pos=new_pos, pos_err=new_err, vel=vel,
                             rng_key=key, step=st.step + 1, time=st.time + dt)
-            return carry.replace(state=st, nbrs=nbrs)
+            return carry.replace(state=st)
 
         # --------------------------- vanilla VV scheme (stepVV) -----------
         def step_vv(carry: Carry) -> Carry:
             carry, invalidated = update_context_state(carry)
             st = carry.state
-            nbrs = carry.nbrs
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
             def recompute(_):
-                _, f = ev.energy_forces(pos, box, nbrs.idx)
+                _, f = ev.energy_forces(pos, box)
                 return f
 
             F = jax.lax.cond(carry.forces_valid & ~invalidated,
@@ -405,7 +355,7 @@ class Context:
                                     0.0, new_err)
                 new_pos = img_pos
             # forces at full-step positions
-            _, F2 = ev.energy_forces(new_pos, box, nbrs.idx)
+            _, F2 = ev.energy_forces(new_pos, box)
             key, k_l = jax.random.split(st.rng_key)
             Fx2 = (extra_forces(new_pos, vel, box, k_l) if has_extra
                    else jnp.zeros_like(F2))
@@ -418,8 +368,7 @@ class Context:
                 vel, st = thermostat(new_pos, st.vel, box, st)
                 st = st.replace(vel=vel)
             st = st.replace(step=st.step + 1, time=st.time + dt)
-            return carry.replace(state=st, nbrs=nbrs, forces=F2,
-                                 forces_extra=Fx2,
+            return carry.replace(state=st, forces=F2, forces_extra=Fx2,
                                  forces_valid=jnp.ones((), bool))
 
         return step_middle if data.use_middle else step_vv

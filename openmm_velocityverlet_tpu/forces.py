@@ -20,20 +20,29 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from .ops import bonded, drude, ewald, nonbonded, vsites
+from .ops import allpairs, bonded, drude, ewald, nonbonded, vsites
 from .system import System
 
 
 class ForceEvaluator:
-    """Builds a pure ``(pos, box, nbr_idx) -> (terms, forces)`` function for a
-    System plus optional external energy closures."""
+    """Builds a pure ``(pos, box) -> (terms, forces)`` function for a System
+    plus optional external energy closures.
+
+    The System's tables are host numpy; they embed as compile-time constants
+    when the step is traced, which selects XLA's fast constant-index gather
+    lowering on TPU (measured 15x faster than dynamic-index gathers).
+    """
 
     def __init__(self, system: System,
                  external_forces: Sequence[Callable] = (),
-                 ewald_chunk: int = 4096):
+                 ewald_chunk: int = 4096, row_block: int = 1024):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
+        self.row_block = row_block
+        self.pair_tables = allpairs.build_pair_tables(
+            system.n_atoms, system.lj_type, system.acoef, system.bcoef,
+            system.exclusions, system.lj_group, system.lj_group_allowed)
 
     # -- virtual sites ----------------------------------------------------
     def place_vsites(self, pos):
@@ -65,14 +74,14 @@ class ForceEvaluator:
         return sum(terms.values()), terms
 
     # -- full evaluation --------------------------------------------------
-    def energy_forces(self, pos_raw, box, nbr_idx):
+    def energy_forces(self, pos_raw, box):
         """Returns (terms dict incl. every component, forces on real dofs)."""
         s = self.system
         pos = self.place_vsites(pos_raw)
 
-        e_lj, e_coul_dir, f_direct = nonbonded.direct_space(
-            pos, box, nbr_idx, s.charges, s.lj_type, s.acoef, s.bcoef,
-            s.ewald_beta, s.r_cutoff, s.lj_group, s.lj_group_allowed)
+        e_lj, e_coul_dir, f_direct = allpairs.direct_space_dense(
+            pos, box, jnp.asarray(s.charges), self.pair_tables,
+            s.ewald_beta, s.r_cutoff, row_block=self.row_block)
         e_corr, f_corr = nonbonded.exclusion_correction(
             pos, box, s.exclusions, s.charges, s.ewald_beta)
         e_exc_q, e_exc_lj, f_exc = nonbonded.exception_terms(
@@ -100,8 +109,8 @@ class ForceEvaluator:
             s.vsite_x_w, s.vsite_y_w, s.vsite_local)
         return terms, forces
 
-    def potential_energy(self, pos_raw, box, nbr_idx):
-        terms, _ = self.energy_forces(pos_raw, box, nbr_idx)
+    def potential_energy(self, pos_raw, box):
+        terms, _ = self.energy_forces(pos_raw, box)
         return sum(terms.values()), terms
 
     # Force-group decomposition mirroring oplspsffile.py:169-177 + force.py

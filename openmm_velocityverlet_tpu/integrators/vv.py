@@ -287,10 +287,11 @@ class VVIntegrator:
             eta_mass[g, 1:] = tg_mass
 
         def arr(x, shape2=None, dtype=np.int32):
+            # host numpy: embedded as constants when the step is traced
             a = np.asarray(sorted(x) if shape2 is None else x, dtype)
             if shape2 is not None:
                 a = a.reshape(-1, shape2)
-            return jnp.asarray(a)
+            return a
 
         return IntegratorData(
             dt=self.step_size,
@@ -306,17 +307,17 @@ class VVIntegrator:
             electric_field=self.electric_field,
             mirror_location=self.mirror_location,
             num_temp_groups=num_tg,
-            nh_mask=jnp.asarray(nh_mask),
+            nh_mask=np.asarray(nh_mask),
             nh_normal=arr(nh_particle_set),
-            nh_pairs=arr(nh_pairs, 2) if nh_pairs else jnp.zeros((0, 2), i32),
-            nh_mol_mask=jnp.asarray(nh_mol_mask),
-            temp_group_nkbt=jnp.asarray(nkbt, jnp.float32),
-            temp_group_dof=jnp.asarray(tg_dof, jnp.float32),
-            eta_mass=jnp.asarray(eta_mass, jnp.float32),
+            nh_pairs=arr(nh_pairs, 2) if nh_pairs else np.zeros((0, 2), np.int32),
+            nh_mol_mask=np.asarray(nh_mol_mask),
+            temp_group_nkbt=np.asarray(nkbt, np.float32),
+            temp_group_dof=np.asarray(tg_dof, np.float32),
+            eta_mass=np.asarray(eta_mass, np.float32),
             ld_normal=arr(ld_particle_set),
-            ld_pairs=arr(ld_pairs, 2) if ld_pairs else jnp.zeros((0, 2), i32),
+            ld_pairs=arr(ld_pairs, 2) if ld_pairs else np.zeros((0, 2), np.int32),
             image_pairs=(arr(self.image_pairs, 2) if self.image_pairs
-                         else jnp.zeros((0, 2), i32)),
+                         else np.zeros((0, 2), np.int32)),
             electrolyte=arr(self.particles_electrolyte),
-            drude_pairs=jnp.asarray(drude_pairs.astype(np.int32)),
+            drude_pairs=drude_pairs.astype(np.int32),
         )

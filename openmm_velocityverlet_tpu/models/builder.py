@@ -12,7 +12,6 @@ from __future__ import annotations
 import math
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ewald import ewald_parameters
@@ -250,14 +249,18 @@ class SystemBuilder:
             dr_k3.append(k3)
             dr_aniso.append((p, p2, p3, p4) if has_aniso else (-1, -1, -1, -1))
 
+        # System arrays stay host-side numpy: a single upload happens when a
+        # jitted program closes over them (jit trace), so the builder never
+        # dispatches device work (the axon tunnel makes tiny device ops and
+        # blocking transfers very expensive).
         def iarr(x, w=None):
             a = np.asarray(x, np.int32)
             if w is not None:
                 a = a.reshape(-1, w)
-            return jnp.asarray(a)
+            return a
 
         def farr(x):
-            return jnp.asarray(np.asarray(x, np.float32))
+            return np.asarray(x, np.float32)
 
         bonds = np.asarray([(b[0], b[1]) for b in self.bonds], np.int32).reshape(-1, 2)
         angles = np.asarray([(a[0], a[1], a[2]) for a in self.angles],
@@ -289,14 +292,14 @@ class SystemBuilder:
 
         return System(
             masses=farr(masses), inv_masses=farr(inv_masses),
-            charges=farr(charges), lj_type=jnp.asarray(lj_type),
+            charges=farr(charges), lj_type=np.asarray(lj_type, np.int32),
             acoef=farr(self.acoef), bcoef=farr(self.bcoef),
-            lj_group=(jnp.asarray(np.asarray(self.lj_group, np.int32))
+            lj_group=(np.asarray(self.lj_group, np.int32)
                       if self.lj_group is not None
-                      else jnp.zeros(n, jnp.int32)),
-            lj_group_allowed=(jnp.asarray(np.asarray(self.lj_group_allowed, bool))
+                      else np.zeros(n, np.int32)),
+            lj_group_allowed=(np.asarray(self.lj_group_allowed, bool)
                               if self.lj_group_allowed is not None
-                              else jnp.ones((1, 1), bool)),
+                              else np.ones((1, 1), bool)),
             bonds=iarr(bonds), bond_r0=farr([b[2] for b in self.bonds]),
             bond_k=farr([b[3] for b in self.bonds]),
             angles=iarr(angles), angle_theta0=farr([a[3] for a in self.angles]),
@@ -308,33 +311,33 @@ class SystemBuilder:
             dihedral_phase=farr([d[5] for d in self.dihedrals]),
             dihedral_k=farr([d[6] for d in self.dihedrals]),
             impropers=iarr(imps), improper_k=farr([p[4] for p in self.impropers]),
-            exclusions=jnp.asarray(excl),
-            exc_idx=jnp.asarray(exc_idx), exc_qq=jnp.asarray(exc_qq),
-            exc_c6=jnp.asarray(exc_c6), exc_c12=jnp.asarray(exc_c12),
-            disp_coef_a2=jnp.asarray(disp_a2, jnp.float32),
-            disp_coef_b=jnp.asarray(disp_b, jnp.float32),
+            exclusions=np.asarray(excl, np.int32),
+            exc_idx=np.asarray(exc_idx, np.int32), exc_qq=np.asarray(exc_qq, np.float32),
+            exc_c6=np.asarray(exc_c6, np.float32), exc_c12=np.asarray(exc_c12, np.float32),
+            disp_coef_a2=np.float32(disp_a2),
+            disp_coef_b=np.float32(disp_b),
             constraints=iarr(consx),
             constraint_dist=farr([c[2] for c in self.constraints]),
             vsite_index=iarr([v[0] for v in self.vsites]),
             vsite_parents=iarr([v[1] for v in self.vsites], 3) if self.vsites
-            else jnp.zeros((0, 3), jnp.int32),
+            else np.zeros((0, 3), np.int32),
             vsite_origin_w=farr([v[2] for v in self.vsites]).reshape(-1, 3),
             vsite_x_w=farr([v[3] for v in self.vsites]).reshape(-1, 3),
             vsite_y_w=farr([v[4] for v in self.vsites]).reshape(-1, 3),
             vsite_local=farr([v[5] for v in self.vsites]).reshape(-1, 3),
-            drude_pairs=iarr(dr_pairs, 2) if dr_pairs else jnp.zeros((0, 2), jnp.int32),
+            drude_pairs=iarr(dr_pairs, 2) if dr_pairs else np.zeros((0, 2), np.int32),
             drude_k3=farr(dr_k3), drude_k1=farr(dr_k1), drude_k2=farr(dr_k2),
-            drude_aniso=iarr(dr_aniso, 4) if dr_aniso else jnp.zeros((0, 4), jnp.int32),
+            drude_aniso=iarr(dr_aniso, 4) if dr_aniso else np.zeros((0, 4), np.int32),
             thole_sites=iarr([(t[0], t[1], t[2], t[3]) for t in self.thole], 4)
-            if self.thole else jnp.zeros((0, 4), jnp.int32),
+            if self.thole else np.zeros((0, 4), np.int32),
             thole_qq=farr([t[4] for t in self.thole]),
             thole_screen=farr([t[5] for t in self.thole]),
             tt_donors=iarr(self.tt_donors),
             tt_charges=farr(tt_charges),
-            tt_dipole_mask=jnp.asarray(tt_dipole_mask),
-            tt_b=jnp.asarray(self.tt_b, jnp.float32),
-            tt_cutoff=jnp.asarray(self.tt_cutoff, jnp.float32),
-            particle_mol_id=jnp.asarray(mol_id),
+            tt_dipole_mask=np.asarray(tt_dipole_mask),
+            tt_b=np.float32(self.tt_b),
+            tt_cutoff=np.float32(self.tt_cutoff),
+            particle_mol_id=np.asarray(mol_id, np.int32),
             mol_masses=farr(mol_mass), mol_inv_masses=farr(mol_inv_mass),
             r_cutoff=self.r_cutoff, ewald_beta=float(beta), kmax=tuple(kmax),
             use_dispersion_correction=self.use_dispersion_correction,

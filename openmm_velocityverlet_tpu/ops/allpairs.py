@@ -1,0 +1,201 @@
+"""Dense all-pairs direct-space nonbonded kernel — the TPU-native hot loop.
+
+The reference's direct space runs inside OpenMM's CUDA tile machinery
+(neighbor lists + warp tiles).  On TPU, random-index gathers are the enemy:
+an (N,K) Verlet-list kernel spends its time in per-element gathers, not
+FLOPs.  For the reference's own workloads the cutoff sphere is a sizable
+fraction of the box (bulk models: r_c = 1.2 nm vs 3.1x3.1x6.1 nm box), so a
+*regular* N^2 sweep is only ~6x the ideal pair count while running at full
+VPU/MXU utilization with zero gathers, no neighbor list, no rebuilds, no
+overflow handling, and exact (not skin-approximated) cutoffs:
+
+* pair LJ parameters come from a one-hot contraction over the (T,T) OPLS
+  tables (handles NBFIX rows exactly; oplspsffile.py:1296-1326) — an MXU
+  matmul, not a table gather;
+* exclusions (1-2/1-3/1-4/Drude/lone pair, oplspsffile.py:1437-1476) are a
+  *bit test*: partner offsets fit in a per-atom 31-bit forward mask (checked
+  at build; distant leftovers go to a tiny residual subtraction list);
+* Ewald direct space (erfc) and LJ share one pass; per-atom forces are row
+  reductions — no scatter anywhere.
+
+Row-blocking via lax.map keeps the (B,N) intermediates bounded so XLA tiles
+the whole pair sweep through VMEM.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import ONE_4PI_EPS0
+from ..utils.pbc import minimum_image
+
+_SQRT_PI = 1.7724538509055159
+
+MAX_EXCL_OFFSET = 31
+
+
+def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
+                      lj_group=None, lj_group_allowed=None):
+    """Host-side static tables for the dense kernel.
+
+    Returns dict with:
+      arows, brows: (N,T) f32   per-atom rows of the LJ tables
+      onehot:       (N,T) f32   one-hot of each atom's LJ type
+      excl_bits:    (N,)  i32   bit d set => atom (i+d) is excluded, d in 1..31
+      residual:     (R,2) i32   excluded pairs with offset > 31 (subtract path)
+      grows/gonehot: optional (N,G) for interaction-group masking
+    """
+    lj_type = np.asarray(lj_type)
+    acoef = np.asarray(acoef, np.float32)
+    bcoef = np.asarray(bcoef, np.float32)
+    T = acoef.shape[0]
+    arows = acoef[lj_type]
+    brows = bcoef[lj_type]
+    onehot = np.zeros((n_atoms, T), np.float32)
+    onehot[np.arange(n_atoms), lj_type] = 1.0
+
+    excl_bits = np.zeros(n_atoms, np.int32)
+    residual = []
+    exclusions = np.asarray(exclusions)
+    for i in range(n_atoms):
+        for j in exclusions[i]:
+            if j < 0 or j <= i:
+                continue
+            d = int(j) - i
+            if d <= MAX_EXCL_OFFSET:
+                excl_bits[i] |= (1 << d)
+            else:
+                residual.append((i, int(j)))
+    residual = (np.asarray(residual, np.int32).reshape(-1, 2)
+                if residual else np.zeros((0, 2), np.int32))
+
+    out = dict(arows=arows, brows=brows, onehot=onehot,
+               excl_bits=excl_bits, residual=residual,
+               grows=None, gonehot=None)
+    if lj_group is not None and lj_group_allowed is not None \
+            and np.asarray(lj_group_allowed).shape[0] > 1:
+        g = np.asarray(lj_group)
+        allowed = np.asarray(lj_group_allowed, np.float32)
+        G = allowed.shape[0]
+        out["grows"] = allowed[g]                      # (N,G)
+        goh = np.zeros((n_atoms, G), np.float32)
+        goh[np.arange(n_atoms), g] = 1.0
+        out["gonehot"] = goh
+    return out
+
+
+def _pair_terms(dr, r2, qq, a, b, beta, r_cutoff, valid):
+    """Shared LJ + Ewald-direct math.  Returns (e_lj, e_coul, f_scalar)."""
+    in_range = valid & (r2 < r_cutoff * r_cutoff)
+    r2s = jnp.where(in_range, r2, 1.0)
+    inv_r2 = 1.0 / r2s
+    inv_r = jnp.sqrt(inv_r2)
+    r = r2s * inv_r
+    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    inv_r12 = inv_r6 * inv_r6
+    e_lj = a * a * inv_r12 - b * inv_r6
+    f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
+    br = beta * r
+    erfc_br = jax.lax.erfc(br)
+    e_coul = qq * erfc_br * inv_r
+    f_coul = qq * (erfc_br * inv_r
+                   + (2.0 * beta / _SQRT_PI) * jnp.exp(-br * br)) * inv_r2
+    zero = jnp.zeros_like(e_lj)
+    return (jnp.where(in_range, e_lj, zero),
+            jnp.where(in_range, e_coul, zero),
+            jnp.where(in_range, f_lj + f_coul, zero))
+
+
+def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
+                       row_block: int = 1024):
+    """All-pairs LJ + Ewald-direct sweep.  Returns (E_lj, E_coul, F)."""
+    n = pos.shape[0]
+    arows = jnp.asarray(tables["arows"])
+    brows = jnp.asarray(tables["brows"])
+    onehot = jnp.asarray(tables["onehot"])
+    excl_bits = jnp.asarray(tables["excl_bits"])
+    grows = tables["grows"]
+    gonehot = tables["gonehot"]
+    q = charges
+
+    B = min(row_block, n)
+    n_pad = ((n + B - 1) // B) * B
+    pad = n_pad - n
+
+    def pad_rows(x, fill=0.0):
+        if pad == 0:
+            return x
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    pos_p = pad_rows(pos)
+    q_p = pad_rows(q)
+    arows_p = pad_rows(arows)
+    excl_p = pad_rows(excl_bits)
+    col_id = jnp.arange(n, dtype=jnp.int32)[None, :]
+    row_id_all = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def block(args):
+        p_blk, q_blk, a_blk, g_blk, eb_blk, rid = args
+        dr = minimum_image(p_blk[:, None, :] - pos[None, :, :], box)  # (B,N,3)
+        r2 = jnp.sum(dr * dr, -1)
+        delta = col_id - rid[:, None]                                 # (B,N)
+        # exclusion bit test, both directions
+        dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
+        dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
+        excl = (((eb_blk[:, None] >> dfwd) & 1) > 0) & (delta >= 1) & \
+               (delta <= MAX_EXCL_OFFSET)
+        excl |= (((excl_bits[None, :] >> dbwd) & 1) > 0) & (delta <= -1) & \
+                (delta >= -MAX_EXCL_OFFSET)
+        valid = (delta != 0) & (rid[:, None] < n) & ~excl
+        # pair LJ params via one-hot contraction (MXU)
+        a = jnp.einsum("bt,nt->bn", a_blk[:, 0, :], onehot)
+        b = jnp.einsum("bt,nt->bn", a_blk[:, 1, :], onehot)
+        if grows is not None:
+            allowed = jnp.einsum("bg,ng->bn", g_blk, jnp.asarray(gonehot))
+            a = a * allowed
+            b = b * allowed
+        qq = ONE_4PI_EPS0 * q_blk[:, None] * q[None, :]
+        e_lj, e_coul, f_s = _pair_terms(dr, r2, qq, a, b, beta, r_cutoff,
+                                        valid)
+        forces = jnp.sum(f_s[..., None] * dr, axis=1)                 # (B,3)
+        return forces, jnp.sum(e_lj), jnp.sum(e_coul)
+
+    ab_p = jnp.stack([arows_p, pad_rows(brows)], axis=1)              # (Np,2,T)
+    if grows is not None:
+        g_p = pad_rows(jnp.asarray(grows))
+    else:
+        g_p = jnp.zeros((n_pad, 1), jnp.float32)
+    f_blocks, e_lj_b, e_coul_b = jax.lax.map(
+        block, (pos_p.reshape(-1, B, 3), q_p.reshape(-1, B),
+                ab_p.reshape(-1, B, 2, ab_p.shape[-1]),
+                g_p.reshape(-1, B, g_p.shape[-1]),
+                excl_p.reshape(-1, B), row_id_all.reshape(-1, B)))
+    forces = f_blocks.reshape(n_pad, 3)[:n]
+    e_lj = 0.5 * jnp.sum(e_lj_b)
+    e_coul = 0.5 * jnp.sum(e_coul_b)
+
+    # residual excluded pairs (index offset > 31): subtract with the same
+    # formula so the cancellation is exact to rounding.
+    res = tables["residual"]
+    if res.shape[0] > 0:
+        i, j = res[:, 0], res[:, 1]
+        dr = minimum_image(pos[i] - pos[j], box)
+        r2 = jnp.sum(dr * dr, -1)
+        ti = jnp.asarray(tables["arows"])[i]
+        # a_ij for the residual pair via the same one-hot contraction
+        a = jnp.sum(ti * onehot[j], -1)
+        b = jnp.sum(jnp.asarray(tables["brows"])[i] * onehot[j], -1)
+        if grows is not None:
+            a = a * jnp.sum(jnp.asarray(grows)[i] * jnp.asarray(gonehot)[j], -1)
+            b = b * jnp.sum(jnp.asarray(grows)[i] * jnp.asarray(gonehot)[j], -1)
+        qq = ONE_4PI_EPS0 * q[i] * q[j]
+        e_lj_r, e_coul_r, f_s = _pair_terms(
+            dr, r2, qq, a, b, beta, r_cutoff,
+            jnp.ones(r2.shape, bool))
+        e_lj = e_lj - jnp.sum(e_lj_r)
+        e_coul = e_coul - jnp.sum(e_coul_r)
+        fvec = f_s[:, None] * dr
+        forces = forces.at[i].add(-fvec).at[j].add(fvec)
+    return e_lj, e_coul, forces

@@ -63,10 +63,11 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
             atom_sign[i, k] = s
     ims = np.asarray(inv_masses, np.float32)
     inv_mass_sum = ims[pairs[:, 0]] + ims[pairs[:, 1]] if c else np.zeros((0,), np.float32)
+    # host numpy: embeds as compile-time constants inside the jitted step so
+    # TPU gathers take the fast constant-index lowering
     return ConstraintData(
-        pairs=jnp.asarray(pairs), dist=jnp.asarray(dists),
-        inv_mass_sum=jnp.asarray(inv_mass_sum),
-        atom_cons=jnp.asarray(atom_cons), atom_sign=jnp.asarray(atom_sign),
+        pairs=pairs, dist=dists, inv_mass_sum=inv_mass_sum,
+        atom_cons=atom_cons, atom_sign=atom_sign,
         tolerance=tolerance, max_iterations=max_iterations)
 
 

@@ -86,6 +86,7 @@ def _cell_ids(pos, box, dims):
 def build(pos, box, exclusions, cfg: NeighborListConfig) -> NeighborList:
     """Build the (N,K) neighbor list.  Pure function of positions/box."""
     n = pos.shape[0]
+    exclusions = jnp.asarray(exclusions)
     dims = cfg.dims
     n_cells = dims[0] * dims[1] * dims[2]
     M, K = cfg.cell_capacity, cfg.capacity

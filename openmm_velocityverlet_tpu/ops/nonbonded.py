@@ -89,6 +89,8 @@ def exclusion_correction(pos, box, exclusions, charges, beta):
     if exclusions.shape[1] == 0:
         z = jnp.zeros((), pos.dtype)
         return z, jnp.zeros_like(pos)
+    exclusions = jnp.asarray(exclusions)
+    charges = jnp.asarray(charges)
     valid = exclusions >= 0
     j = jnp.maximum(exclusions, 0)
     dr = minimum_image(pos[:, None, :] - pos[j], box)
@@ -116,6 +118,10 @@ def exception_terms(pos, box, exc_idx, exc_qq, exc_c6, exc_c12):
     if exc_idx.shape[1] == 0:
         z = jnp.zeros((), pos.dtype)
         return z, z, jnp.zeros_like(pos)
+    exc_idx = jnp.asarray(exc_idx)
+    exc_qq = jnp.asarray(exc_qq)
+    exc_c6 = jnp.asarray(exc_c6)
+    exc_c12 = jnp.asarray(exc_c12)
     valid = exc_idx >= 0
     j = jnp.maximum(exc_idx, 0)
     dr = minimum_image(pos[:, None, :] - pos[j], box)
@@ -163,6 +169,10 @@ def tt_damping_energy(pos, box, donors, tt_charges, dipole_mask, exclusions,
     """
     if donors.shape[0] == 0:
         return jnp.zeros((), pos.dtype)
+    donors = jnp.asarray(donors)
+    tt_charges = jnp.asarray(tt_charges)
+    dipole_mask = jnp.asarray(dipole_mask)
+    exclusions = jnp.asarray(exclusions)
     dpos = pos[donors]                             # (Nd,3)
     dr = minimum_image(dpos[:, None, :] - pos[None, :, :], box)
     r2 = jnp.maximum(jnp.sum(dr * dr, -1), 1e-10)

@@ -41,18 +41,11 @@ def test_forces_match_grad_of_energy():
     rng = np.random.default_rng(0)
     pos_j = jnp.asarray(pos + rng.normal(scale=0.02, size=pos.shape),
                         jnp.float32)
-    nbr_idx = ctx._carry.nbrs.idx if ctx._carry else None
-    if nbr_idx is None:
-        ctx._carry = ctx._make_carry()
-        nbr_idx = ctx._carry.nbrs.idx
-
     def etot(p):
-        terms, _ = ctx.evaluator.energy_forces(p, jnp.asarray(box, jnp.float32),
-                                               nbr_idx)
+        terms, _ = ctx.evaluator.energy_forces(p, jnp.asarray(box, jnp.float32))
         return sum(terms.values())
 
-    _, f = ctx.evaluator.energy_forces(pos_j, jnp.asarray(box, jnp.float32),
-                                       nbr_idx)
+    _, f = ctx.evaluator.energy_forces(pos_j, jnp.asarray(box, jnp.float32))
     g = jax.grad(etot)(pos_j)
     np.testing.assert_allclose(np.asarray(f), -np.asarray(g),
                                rtol=2e-4, atol=2e-3)
