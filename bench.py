@@ -37,10 +37,13 @@ def main():
     ctx = Context(built.system, integ, positions=gro.positions, box=gro.box)
     ctx.set_velocities_to_temperature(333.0)
 
+    import jax
     ctx.step(20)  # compile + warm up
+    jax.block_until_ready(ctx._carry.state.pos)
     n = 500
     t0 = time.time()
     ctx.step(n)
+    jax.block_until_ready(ctx._carry.state.pos)
     elapsed = time.time() - t0
     steps_per_s = n / elapsed
     ns_day = steps_per_s * dt * 1e-3 * 86400.0

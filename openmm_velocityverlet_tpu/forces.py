@@ -79,11 +79,9 @@ class ForceEvaluator:
         s = self.system
         pos = self.place_vsites(pos_raw)
 
-        e_lj, e_coul_dir, f_direct = allpairs.direct_space_dense(
+        e_lj, e_coul_dir, e_corr, f_direct = allpairs.direct_space_dense(
             pos, box, jnp.asarray(s.charges), self.pair_tables,
             s.ewald_beta, s.r_cutoff, row_block=self.row_block)
-        e_corr, f_corr = nonbonded.exclusion_correction(
-            pos, box, s.exclusions, s.charges, s.ewald_beta)
         e_exc_q, e_exc_lj, f_exc = nonbonded.exception_terms(
             pos, box, s.exc_idx, s.exc_qq, s.exc_c6, s.exc_c12)
 
@@ -103,7 +101,7 @@ class ForceEvaluator:
             terms["lj_lrc"] = nonbonded.dispersion_correction(
                 box, s.disp_coef_a2, s.disp_coef_b, s.r_cutoff)
 
-        forces = f_direct + f_corr + f_exc - grad_smooth
+        forces = f_direct + f_exc - grad_smooth
         forces = vsites.redistribute_forces(
             pos_raw, forces, s.vsite_index, s.vsite_parents, s.vsite_origin_w,
             s.vsite_x_w, s.vsite_y_w, s.vsite_local)

@@ -14,7 +14,10 @@ overflow handling, and exact (not skin-approximated) cutoffs:
   matmul, not a table gather;
 * exclusions (1-2/1-3/1-4/Drude/lone pair, oplspsffile.py:1437-1476) are a
   *bit test*: partner offsets fit in a per-atom 31-bit forward mask (checked
-  at build; distant leftovers go to a tiny residual subtraction list);
+  at build; distant leftovers go to a tiny residual adjustment list);
+* excluded pairs contribute their reciprocal-space correction
+  -qq erf(beta r)/r *in the same pass* (the erfc is already computed), so
+  there is no separate exclusion-correction kernel at all;
 * Ewald direct space (erfc) and LJ share one pass; per-atom forces are row
   reductions — no scatter anywhere.
 
@@ -43,15 +46,15 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
       arows, brows: (N,T) f32   per-atom rows of the LJ tables
       onehot:       (N,T) f32   one-hot of each atom's LJ type
       excl_bits:    (N,)  i32   bit d set => atom (i+d) is excluded, d in 1..31
-      residual:     (R,2) i32   excluded pairs with offset > 31 (subtract path)
+      residual:     (R,2) i32   excluded pairs with offset > 31 (adjust path)
       grows/gonehot: optional (N,G) for interaction-group masking
     """
     lj_type = np.asarray(lj_type)
     acoef = np.asarray(acoef, np.float32)
     bcoef = np.asarray(bcoef, np.float32)
-    T = acoef.shape[0]
     arows = acoef[lj_type]
     brows = bcoef[lj_type]
+    T = acoef.shape[0]
     onehot = np.zeros((n_atoms, T), np.float32)
     onehot[np.arange(n_atoms), lj_type] = 1.0
 
@@ -85,10 +88,16 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
     return out
 
 
-def _pair_terms(dr, r2, qq, a, b, beta, r_cutoff, valid):
-    """Shared LJ + Ewald-direct math.  Returns (e_lj, e_coul, f_scalar)."""
-    in_range = valid & (r2 < r_cutoff * r_cutoff)
-    r2s = jnp.where(in_range, r2, 1.0)
+def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask):
+    """Shared LJ + Ewald-direct + exclusion-correction math.
+
+    direct pairs:   E = a^2/r^12 - b/r^6 + qq erfc(beta r)/r
+    excluded pairs: E = -qq erf(beta r)/r   (reciprocal-space correction;
+                    finite at r -> 0, which Drude pairs approach)
+    Returns (e_lj, e_coul, e_corr, f_scalar).
+    """
+    in_range = direct_mask & (r2 < r_cutoff * r_cutoff)
+    r2s = jnp.maximum(r2, 1e-10)
     inv_r2 = 1.0 / r2s
     inv_r = jnp.sqrt(inv_r2)
     r = r2s * inv_r
@@ -98,18 +107,27 @@ def _pair_terms(dr, r2, qq, a, b, beta, r_cutoff, valid):
     f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
     br = beta * r
     erfc_br = jax.lax.erfc(br)
+    gauss = (2.0 * beta / _SQRT_PI) * jnp.exp(-br * br)
     e_coul = qq * erfc_br * inv_r
-    f_coul = qq * (erfc_br * inv_r
-                   + (2.0 * beta / _SQRT_PI) * jnp.exp(-br * br)) * inv_r2
+    f_coul = qq * (erfc_br * inv_r + gauss) * inv_r2
+    erf_inv_r = (1.0 - erfc_br) * inv_r
+    e_corr = -qq * erf_inv_r
+    f_corr = -qq * (erf_inv_r - gauss) * inv_r2
     zero = jnp.zeros_like(e_lj)
+    f_s = jnp.where(in_range, f_lj + f_coul, zero) \
+        + jnp.where(corr_mask, f_corr, zero)
     return (jnp.where(in_range, e_lj, zero),
             jnp.where(in_range, e_coul, zero),
-            jnp.where(in_range, f_lj + f_coul, zero))
+            jnp.where(corr_mask, e_corr, zero),
+            f_s)
 
 
 def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
                        row_block: int = 1024):
-    """All-pairs LJ + Ewald-direct sweep.  Returns (E_lj, E_coul, F)."""
+    """All-pairs LJ + Ewald-direct + exclusion-correction sweep.
+
+    Returns (E_lj, E_coul_direct, E_excl_corr, F).
+    """
     n = pos.shape[0]
     arows = jnp.asarray(tables["arows"])
     brows = jnp.asarray(tables["brows"])
@@ -131,7 +149,6 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
 
     pos_p = pad_rows(pos)
     q_p = pad_rows(q)
-    arows_p = pad_rows(arows)
     excl_p = pad_rows(excl_bits)
     col_id = jnp.arange(n, dtype=jnp.int32)[None, :]
     row_id_all = jnp.arange(n_pad, dtype=jnp.int32)
@@ -148,7 +165,7 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
                (delta <= MAX_EXCL_OFFSET)
         excl |= (((excl_bits[None, :] >> dbwd) & 1) > 0) & (delta <= -1) & \
                 (delta >= -MAX_EXCL_OFFSET)
-        valid = (delta != 0) & (rid[:, None] < n) & ~excl
+        alive = (delta != 0) & (rid[:, None] < n)
         # pair LJ params via one-hot contraction (MXU)
         a = jnp.einsum("bt,nt->bn", a_blk[:, 0, :], onehot)
         b = jnp.einsum("bt,nt->bn", a_blk[:, 1, :], onehot)
@@ -157,17 +174,18 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
             a = a * allowed
             b = b * allowed
         qq = ONE_4PI_EPS0 * q_blk[:, None] * q[None, :]
-        e_lj, e_coul, f_s = _pair_terms(dr, r2, qq, a, b, beta, r_cutoff,
-                                        valid)
+        e_lj, e_coul, e_corr, f_s = _pair_terms(
+            r2, qq, a, b, beta, r_cutoff,
+            direct_mask=alive & ~excl, corr_mask=alive & excl)
         forces = jnp.sum(f_s[..., None] * dr, axis=1)                 # (B,3)
-        return forces, jnp.sum(e_lj), jnp.sum(e_coul)
+        return forces, jnp.sum(e_lj), jnp.sum(e_coul), jnp.sum(e_corr)
 
-    ab_p = jnp.stack([arows_p, pad_rows(brows)], axis=1)              # (Np,2,T)
+    ab_p = jnp.stack([pad_rows(arows), pad_rows(brows)], axis=1)      # (Np,2,T)
     if grows is not None:
         g_p = pad_rows(jnp.asarray(grows))
     else:
         g_p = jnp.zeros((n_pad, 1), jnp.float32)
-    f_blocks, e_lj_b, e_coul_b = jax.lax.map(
+    f_blocks, e_lj_b, e_coul_b, e_corr_b = jax.lax.map(
         block, (pos_p.reshape(-1, B, 3), q_p.reshape(-1, B),
                 ab_p.reshape(-1, B, 2, ab_p.shape[-1]),
                 g_p.reshape(-1, B, g_p.shape[-1]),
@@ -175,27 +193,37 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
     forces = f_blocks.reshape(n_pad, 3)[:n]
     e_lj = 0.5 * jnp.sum(e_lj_b)
     e_coul = 0.5 * jnp.sum(e_coul_b)
+    e_corr = 0.5 * jnp.sum(e_corr_b)
 
-    # residual excluded pairs (index offset > 31): subtract with the same
-    # formula so the cancellation is exact to rounding.
+    # residual excluded pairs (index offset > 31): the sweep treated them as
+    # plain direct pairs; adjust to the excluded-pair form with identical
+    # formulas so the cancellation is exact to rounding.
     res = tables["residual"]
     if res.shape[0] > 0:
         i, j = res[:, 0], res[:, 1]
         dr = minimum_image(pos[i] - pos[j], box)
         r2 = jnp.sum(dr * dr, -1)
-        ti = jnp.asarray(tables["arows"])[i]
-        # a_ij for the residual pair via the same one-hot contraction
-        a = jnp.sum(ti * onehot[j], -1)
-        b = jnp.sum(jnp.asarray(tables["brows"])[i] * onehot[j], -1)
+        a = jnp.sum(arows[i] * onehot[j], -1)
+        b = jnp.sum(brows[i] * onehot[j], -1)
         if grows is not None:
-            a = a * jnp.sum(jnp.asarray(grows)[i] * jnp.asarray(gonehot)[j], -1)
-            b = b * jnp.sum(jnp.asarray(grows)[i] * jnp.asarray(gonehot)[j], -1)
+            allowed = jnp.sum(jnp.asarray(grows)[i]
+                              * jnp.asarray(gonehot)[j], -1)
+            a = a * allowed
+            b = b * allowed
         qq = ONE_4PI_EPS0 * q[i] * q[j]
-        e_lj_r, e_coul_r, f_s = _pair_terms(
-            dr, r2, qq, a, b, beta, r_cutoff,
-            jnp.ones(r2.shape, bool))
-        e_lj = e_lj - jnp.sum(e_lj_r)
-        e_coul = e_coul - jnp.sum(e_coul_r)
-        fvec = f_s[:, None] * dr
-        forces = forces.at[i].add(-fvec).at[j].add(fvec)
-    return e_lj, e_coul, forces
+        ones = jnp.ones(r2.shape, bool)
+        e_lj_r, e_coul_r, e_corr_r, f_corr_only = _pair_terms(
+            r2, qq, a, b, beta, r_cutoff, direct_mask=jnp.zeros_like(ones),
+            corr_mask=ones)
+        _, e_coul_d, _, f_direct_only = _pair_terms(
+            r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
+            corr_mask=jnp.zeros_like(ones))
+        e_lj_d, _, _, _ = _pair_terms(
+            r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
+            corr_mask=jnp.zeros_like(ones))
+        e_lj = e_lj - jnp.sum(e_lj_d)
+        e_coul = e_coul - jnp.sum(e_coul_d)
+        e_corr = e_corr + jnp.sum(e_corr_r)
+        f_adj = (f_corr_only - f_direct_only)[:, None] * dr
+        forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
+    return e_lj, e_coul, e_corr, forces

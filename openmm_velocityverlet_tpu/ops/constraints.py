@@ -32,8 +32,17 @@ class ConstraintData:
     inv_mass_sum: jnp.ndarray  # (C,) 1/mi + 1/mj
     atom_cons: jnp.ndarray   # (N,A) i32 constraint ids incident to atom, -1 pad
     atom_sign: jnp.ndarray   # (N,A) f32 +1 if atom is pair[...,0], else -1
+    # ---- exact per-cluster solver tables (None when a cluster exceeds K) ----
+    # Constraints partition into small connected clusters (CH stars, rigid
+    # water triangles).  The RATTLE system is linear and the SHAKE system is
+    # solved by a few Newton iterations — both as batched (NCL,K,K) solves.
+    cl_cons: jnp.ndarray     # (NCL,K) i32 constraint ids, -1 pad
+    cl_w: jnp.ndarray        # (NCL,K,K) coupling weights sum(+-1/m_shared)
+    cl_slot: jnp.ndarray     # (C,) i32 flat slot (cluster*K + k) of constraint
     tolerance: float = struct.field(pytree_node=False, default=1e-5)
     max_iterations: int = struct.field(pytree_node=False, default=150)
+    use_clusters: bool = struct.field(pytree_node=False, default=False)
+    newton_iters: int = struct.field(pytree_node=False, default=3)
 
     @property
     def n_constraints(self):
@@ -63,11 +72,66 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
             atom_sign[i, k] = s
     ims = np.asarray(inv_masses, np.float32)
     inv_mass_sum = ims[pairs[:, 0]] + ims[pairs[:, 1]] if c else np.zeros((0,), np.float32)
+    # ---- cluster decomposition (union-find over shared atoms) ----
+    K = 4
+    parent = list(range(c))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    atom_last = {}
+    for ci, (a, b) in enumerate(pairs):
+        for at in (int(a), int(b)):
+            if at in atom_last:
+                ra, rb = find(atom_last[at]), find(ci)
+                if ra != rb:
+                    parent[rb] = ra
+            atom_last[at] = ci
+    clusters = {}
+    for ci in range(c):
+        clusters.setdefault(find(ci), []).append(ci)
+    use_clusters = c > 0 and all(len(v) <= K for v in clusters.values())
+    if use_clusters and c > 0:
+        ncl = len(clusters)
+        cl_cons = np.full((ncl, K), -1, np.int32)
+        cl_slot = np.zeros((c,), np.int32)
+        for r, (root, members) in enumerate(sorted(clusters.items())):
+            cl_cons[r, :len(members)] = members
+            for k, m in enumerate(members):
+                cl_slot[m] = r * K + k
+        # coupling weights w[c,c'] = sum over shared atoms of
+        # sign_c(a)*sign_c'(a)/m_a  (sign +1 for the first atom of the pair)
+        cc = np.maximum(cl_cons, 0)
+        w = np.zeros((ncl, K, K), np.float32)
+        for r in range(ncl):
+            for x in range(K):
+                for y in range(K):
+                    cx, cy = cl_cons[r, x], cl_cons[r, y]
+                    if cx < 0 or cy < 0:
+                        w[r, x, y] = 1.0 if x == y else 0.0
+                        continue
+                    acc = 0.0
+                    for ax, sx in ((pairs[cx, 0], 1.0), (pairs[cx, 1], -1.0)):
+                        for ay, sy in ((pairs[cy, 0], 1.0),
+                                       (pairs[cy, 1], -1.0)):
+                            if ax == ay:
+                                acc += sx * sy * float(inv_masses[ax])
+                    w[r, x, y] = acc
+    else:
+        cl_cons = np.zeros((0, K), np.int32)
+        w = np.zeros((0, K, K), np.float32)
+        cl_slot = np.zeros((c,), np.int32)
+
     # host numpy: embeds as compile-time constants inside the jitted step so
     # TPU gathers take the fast constant-index lowering
     return ConstraintData(
         pairs=pairs, dist=dists, inv_mass_sum=inv_mass_sum,
         atom_cons=atom_cons, atom_sign=atom_sign,
+        cl_cons=cl_cons, cl_w=w, cl_slot=cl_slot,
+        use_clusters=bool(use_clusters),
         tolerance=tolerance, max_iterations=max_iterations)
 
 
@@ -79,6 +143,83 @@ def _apply_corrections(x, cons: ConstraintData, g, ref, inv_masses):
     return x - inv_masses[:, None] * jnp.sum(contrib, axis=1)
 
 
+def _solve_small(A, b):
+    """Batched solve for the (NCL,K,K) cluster systems via unrolled
+    Gaussian elimination (no pivoting — A is an SPD Gram matrix).  Batched
+    LAPACK-style LU (jnp.linalg.solve) is far slower on TPU for tiny K."""
+    K = A.shape[-1]
+    A = jnp.asarray(A)
+    b = b[..., None]
+    M = jnp.concatenate([A, b], axis=-1)                      # (NCL,K,K+1)
+    for k in range(K):
+        piv = M[:, k:k + 1, :] / M[:, k:k + 1, k:k + 1]       # normalize row k
+        below = M[:, k + 1:, k:k + 1]
+        M = jnp.concatenate([
+            M[:, :k + 1, :],
+            M[:, k + 1:, :] - below * piv], axis=1)
+    # back substitution
+    x = [None] * K
+    for k in reversed(range(K)):
+        acc = M[:, k, K]
+        for l in range(k + 1, K):
+            acc = acc - M[:, k, l] * x[l]
+        x[k] = acc / M[:, k, k]
+    return jnp.stack(x, axis=-1)                              # (NCL,K)
+
+
+def _apply_cluster_g(x, cons, g_cl, ref, inv_masses):
+    """x_a -= inv_m_a * sum_c sign_ac g_c ref_c with g given per cluster."""
+    # back to per-constraint order via the static slot map (gather, not
+    # scatter — constant indices take the fast TPU lowering)
+    g = g_cl.reshape(-1)[cons.cl_slot]
+    return _apply_corrections(x, cons, g, ref, inv_masses)
+
+
+def solve_velocity_clusters(pos, vel, box, cons: ConstraintData, inv_masses):
+    """Exact RATTLE: the velocity projection is linear — one batched (K,K)
+    solve per cluster, no iteration (vs OpenMM's iterative CCMA)."""
+    i, j = cons.pairs[:, 0], cons.pairs[:, 1]
+    ref = minimum_image(pos[i] - pos[j], box)                  # (C,3)
+    rv = jnp.sum((vel[i] - vel[j]) * ref, -1)                  # (C,)
+    cc = jnp.maximum(cons.cl_cons, 0)
+    pad = (cons.cl_cons >= 0)
+    ref_cl = ref[cc]                                           # (NCL,K,3)
+    dots = jnp.einsum("nkx,nlx->nkl", ref_cl, ref_cl)
+    A = cons.cl_w * dots
+    eye = jnp.eye(cons.cl_cons.shape[1], dtype=A.dtype)
+    A = jnp.where((pad[:, :, None] & pad[:, None, :]), A, eye)
+    b = rv[cc] * pad
+    g_cl = _solve_small(A, b)
+    return _apply_cluster_g(vel, cons, g_cl, ref, inv_masses)
+
+
+def solve_position_clusters(pos_ref, pos_new, box, cons: ConstraintData,
+                            inv_masses):
+    """SHAKE via Newton on the per-cluster system: sigma_c = |x_i-x_j|^2-d^2,
+    J_cc' = 2 (delta_c . ref_c') w_cc'; each iteration is one batched (K,K)
+    solve.  Quadratic convergence: newton_iters=3 reaches the f32 floor."""
+    i, j = cons.pairs[:, 0], cons.pairs[:, 1]
+    ref = minimum_image(pos_ref[i] - pos_ref[j], box)          # (C,3) fixed
+    d2 = cons.dist * cons.dist
+    cc = jnp.maximum(cons.cl_cons, 0)
+    pad = (cons.cl_cons >= 0)
+    ref_cl = ref[cc]                                           # (NCL,K,3)
+    eye = jnp.eye(cons.cl_cons.shape[1], dtype=pos_new.dtype)
+
+    def body(_, x):
+        delta = minimum_image(x[i] - x[j], box)
+        sigma = jnp.sum(delta * delta, -1) - d2
+        delta_cl = delta[cc]
+        Jdots = jnp.einsum("nkx,nlx->nkl", delta_cl, ref_cl)
+        J = 2.0 * cons.cl_w * Jdots
+        J = jnp.where((pad[:, :, None] & pad[:, None, :]), J, eye)
+        b = sigma[cc] * pad
+        g_cl = _solve_small(J, b)
+        return _apply_cluster_g(x, cons, g_cl, ref, inv_masses)
+
+    return jax.lax.fori_loop(0, cons.newton_iters, body, pos_new)
+
+
 def apply_position_constraints(pos_ref, pos_new, box, cons: ConstraintData,
                                inv_masses):
     """SHAKE: move pos_new so that constrained distances equal their targets,
@@ -86,6 +227,9 @@ def apply_position_constraints(pos_ref, pos_new, box, cons: ConstraintData,
     correction directions."""
     if cons.n_constraints == 0:
         return pos_new
+    if cons.use_clusters:
+        return solve_position_clusters(pos_ref, pos_new, box, cons,
+                                       inv_masses)
     i, j = cons.pairs[:, 0], cons.pairs[:, 1]
     ref = minimum_image(pos_ref[i] - pos_ref[j], box)          # (C,3) fixed
     d2 = cons.dist * cons.dist
@@ -115,6 +259,8 @@ def apply_velocity_constraints(pos, vel, box, cons: ConstraintData, inv_masses):
     """RATTLE: project velocities so d/dt of each constrained distance is 0."""
     if cons.n_constraints == 0:
         return vel
+    if cons.use_clusters:
+        return solve_velocity_clusters(pos, vel, box, cons, inv_masses)
     i, j = cons.pairs[:, 0], cons.pairs[:, 1]
     ref = minimum_image(pos[i] - pos[j], box)
     d2 = jnp.sum(ref * ref, -1)
