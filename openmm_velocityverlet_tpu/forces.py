@@ -20,7 +20,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from .ops import allpairs, bonded, drude, ewald, nonbonded, vsites
+from .ops import allpairs, bonded, drude, ewald, nonbonded, term_forces, vsites
 from .system import System
 
 
@@ -43,6 +43,8 @@ class ForceEvaluator:
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed)
+        # per-term vmapped-autodiff tables (scatter-free bonded/Drude/Thole)
+        self.term_tables = term_forces.build_term_tables(system)
 
     # -- virtual sites ----------------------------------------------------
     def place_vsites(self, pos):
@@ -53,14 +55,11 @@ class ForceEvaluator:
 
     # -- grad-differentiated terms ---------------------------------------
     def _smooth_energy(self, pos, box):
-        """Everything whose force we get from jax.grad (placed positions)."""
+        """The few remaining terms whose force comes from jax.grad: Ewald
+        reciprocal (matmul backward, no scatter), TT damping (small), user
+        externals.  Bonded/Drude/Thole live in ops/term_forces.py."""
         s = self.system
-        terms = bonded.bonded_energy(s, pos, box)
-        terms["drude"] = drude.drude_spring_energy(
-            pos, box, s.drude_pairs, s.drude_k3, s.drude_k1, s.drude_k2,
-            s.drude_aniso)
-        terms["thole"] = drude.thole_energy(pos, box, s.thole_sites,
-                                            s.thole_qq, s.thole_screen)
+        terms = {}
         if s.ewald_beta > 0:
             terms["coul_recip"] = ewald.reciprocal_energy(
                 pos, box, s.charges, s.ewald_beta, s.kmax,
@@ -71,7 +70,7 @@ class ForceEvaluator:
                 s.exclusions, s.tt_b, s.tt_cutoff)
         for i, f in enumerate(self.external_forces):
             terms[f"external_{i}"] = f(pos, box)
-        return sum(terms.values()), terms
+        return sum(terms.values(), jnp.zeros((), pos.dtype)), terms
 
     # -- full evaluation --------------------------------------------------
     def energy_forces(self, pos_raw, box):
@@ -87,8 +86,14 @@ class ForceEvaluator:
 
         (e_smooth, terms), grad_smooth = jax.value_and_grad(
             self._smooth_energy, has_aux=True)(pos, box)
+        t_terms, t_idx, t_slots = self.term_tables
+        term_energies, f_terms = term_forces.energies_and_forces(
+            pos, box, t_terms, t_idx, t_slots)
 
         terms = dict(terms)
+        for name in ("bond", "angle", "urey_bradley", "dihedral", "improper",
+                     "drude", "thole"):
+            terms[name] = term_energies.get(name, jnp.zeros((), pos.dtype))
         terms["lj"] = e_lj
         terms["coul_direct"] = e_coul_dir
         terms["coul_excl_corr"] = e_corr
@@ -101,7 +106,7 @@ class ForceEvaluator:
             terms["lj_lrc"] = nonbonded.dispersion_correction(
                 box, s.disp_coef_a2, s.disp_coef_b, s.r_cutoff)
 
-        forces = f_direct + f_exc - grad_smooth
+        forces = f_direct + f_exc + f_terms - grad_smooth
         forces = vsites.redistribute_forces(
             pos_raw, forces, s.vsite_index, s.vsite_parents, s.vsite_origin_w,
             s.vsite_x_w, s.vsite_y_w, s.vsite_local)

@@ -98,16 +98,22 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask):
     """
     in_range = direct_mask & (r2 < r_cutoff * r_cutoff)
     r2s = jnp.maximum(r2, 1e-10)
-    inv_r2 = 1.0 / r2s
-    inv_r = jnp.sqrt(inv_r2)
+    inv_r = jax.lax.rsqrt(r2s)
+    inv_r2 = inv_r * inv_r
     r = r2s * inv_r
     inv_r6 = inv_r2 * inv_r2 * inv_r2
     inv_r12 = inv_r6 * inv_r6
     e_lj = a * a * inv_r12 - b * inv_r6
     f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
     br = beta * r
-    erfc_br = jax.lax.erfc(br)
-    gauss = (2.0 * beta / _SQRT_PI) * jnp.exp(-br * br)
+    # erfc via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7), sharing its exp
+    # with the Gaussian force term — one transcendental per pair instead of
+    # the two inside lax.erfc + exp.
+    expm = jnp.exp(-br * br)
+    t = 1.0 / (1.0 + 0.3275911 * br)
+    erfc_br = (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))) * expm
+    gauss = (2.0 * beta / _SQRT_PI) * expm
     e_coul = qq * erfc_br * inv_r
     f_coul = qq * (erfc_br * inv_r + gauss) * inv_r2
     erf_inv_r = (1.0 - erfc_br) * inv_r

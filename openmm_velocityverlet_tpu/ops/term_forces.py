@@ -1,0 +1,202 @@
+"""Scatter-free bonded/Drude/Thole forces.
+
+``jax.grad`` of a gathered energy produces scatter-adds, which are slow on
+TPU.  Instead, every sparse interaction term (bond, angle, Urey-Bradley,
+dihedral, improper, Drude spring incl. anisotropy, Thole screened pair) is
+differentiated *per term* with vmapped autodiff — a dense (n_terms, P, 3)
+array of force contributions with no scatter anywhere — and the per-atom
+force is one gather-sum over a static incidence table built at bind time
+(constant indices -> fast TPU gather lowering).
+
+Functional forms match ops/bonded.py and ops/drude.py (reference:
+oplspsffile.py:1000-1133, 1478-1517); energies are reported per force group
+exactly as there.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import ONE_4PI_EPS0
+from ..utils.pbc import minimum_image
+
+_EPS = 1e-12
+
+
+# ----------------------------------------------------------- term energies
+def _bond_e(pts, prm, box):
+    # prm: (r0, k)
+    dr = minimum_image(pts[0] - pts[1], box)
+    r = jnp.sqrt(jnp.sum(dr * dr) + _EPS)
+    return 0.5 * prm[1] * (r - prm[0]) ** 2
+
+
+def _angle_e(pts, prm, box):
+    # prm: (theta0, k)
+    v1 = minimum_image(pts[0] - pts[1], box)
+    v2 = minimum_image(pts[2] - pts[1], box)
+    cos_t = jnp.sum(v1 * v2) * jax.lax.rsqrt(
+        jnp.sum(v1 * v1) * jnp.sum(v2 * v2) + _EPS)
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7))
+    return 0.5 * prm[1] * (theta - prm[0]) ** 2
+
+
+def _dihedral_phi(pts, box):
+    b1 = minimum_image(pts[1] - pts[0], box)
+    b2 = minimum_image(pts[2] - pts[1], box)
+    b3 = minimum_image(pts[3] - pts[2], box)
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    m1 = jnp.cross(n1, b2 * jax.lax.rsqrt(jnp.sum(b2 * b2) + _EPS))
+    x = jnp.sum(n1 * n2)
+    y = jnp.sum(m1 * n2)
+    return jnp.arctan2(y, x + _EPS * (x == 0))
+
+
+def _dihedral_e(pts, prm, box):
+    # prm: (n, phase, k)
+    phi = _dihedral_phi(pts, box)
+    return prm[2] * (1.0 + jnp.cos(prm[0] * phi - prm[1]))
+
+
+def _improper_e(pts, prm, box):
+    # prm: (k,) — OPLS E = k (1 - cos 2 phi)
+    phi = _dihedral_phi(pts, box)
+    return prm[0] * (1.0 - jnp.cos(2.0 * phi))
+
+
+def _drude_e(pts, prm, box):
+    """Drude spring with optional anisotropy (DrudeForce semantics,
+    oplspsffile.py:1478-1504).  pts = (drude, parent, p2, p3, p4);
+    prm = (k3, k1, k2, has_aniso).  Padded aniso parents coincide with the
+    parent atom; the (1-has) axis shift keeps the normalization (and its
+    gradient — jnp.where does not block NaN cograds) well-defined there."""
+    has = prm[3]
+    disp = minimum_image(pts[0] - pts[1], box)
+    e = 0.5 * prm[0] * jnp.sum(disp * disp)
+    shift = (1.0 - has) * jnp.asarray([1.0, 0.0, 0.0], pts.dtype)
+    u1 = minimum_image(pts[2] - pts[1], box) + shift
+    u1 = u1 * jax.lax.rsqrt(jnp.sum(u1 * u1) + _EPS)
+    u2 = minimum_image(pts[4] - pts[3], box) + shift
+    u2 = u2 * jax.lax.rsqrt(jnp.sum(u2 * u2) + _EPS)
+    d1 = jnp.sum(disp * u1)
+    d2 = jnp.sum(disp * u2)
+    return e + has * (0.5 * prm[1] * d1 * d1 + 0.5 * prm[2] * d2 * d2)
+
+
+def _thole_e(pts, prm, box):
+    """Thole screened dipole-dipole: 4 site pairs between (d1,p1) and
+    (d2,p2); prm = (qq, screen).  E = C qq/r (1 - (1+u/2) e^-u), u = a r
+    (ops/drude.py:51-66)."""
+    qq, screen = prm[0], prm[1]
+
+    def pair(pa, pb, sign):
+        dr = minimum_image(pa - pb, box)
+        r = jnp.sqrt(jnp.sum(dr * dr) + _EPS)
+        u = screen * r
+        return (ONE_4PI_EPS0 * sign * qq / r
+                * (1.0 - (1.0 + 0.5 * u) * jnp.exp(-u)))
+
+    return (pair(pts[0], pts[2], 1.0) + pair(pts[0], pts[3], -1.0)
+            + pair(pts[1], pts[2], -1.0) + pair(pts[1], pts[3], 1.0))
+
+
+_TERM_FNS = {
+    "bond": (_bond_e, 2),
+    "urey_bradley": (_bond_e, 2),
+    "angle": (_angle_e, 3),
+    "dihedral": (_dihedral_e, 4),
+    "improper": (_improper_e, 4),
+    "drude": (_drude_e, 5),
+    "thole": (_thole_e, 4),
+}
+
+
+def build_term_tables(system):
+    """Host-side: per-term index/param arrays + the combined incidence table.
+
+    Returns (terms, incidence) where terms is a list of
+    (name, idx (NT,P) i32, prm (NT,Q) f32) and incidence is (N, KMAX) i32
+    indices into the concatenated flat contribution array.
+    """
+    s = system
+    terms = []
+    if s.bonds.shape[0]:
+        terms.append(("bond", np.asarray(s.bonds, np.int32),
+                      np.stack([s.bond_r0, s.bond_k], -1).astype(np.float32)))
+    if s.angles.shape[0]:
+        terms.append(("angle", np.asarray(s.angles, np.int32),
+                      np.stack([s.angle_theta0, s.angle_k], -1).astype(np.float32)))
+    if s.ub_bonds.shape[0]:
+        terms.append(("urey_bradley", np.asarray(s.ub_bonds, np.int32),
+                      np.stack([s.ub_r0, s.ub_k], -1).astype(np.float32)))
+    if s.dihedrals.shape[0]:
+        terms.append(("dihedral", np.asarray(s.dihedrals, np.int32),
+                      np.stack([s.dihedral_n, s.dihedral_phase,
+                                s.dihedral_k], -1).astype(np.float32)))
+    if s.impropers.shape[0]:
+        terms.append(("improper", np.asarray(s.impropers, np.int32),
+                      np.asarray(s.improper_k,
+                                 np.float32).reshape(-1, 1)))
+    if s.drude_pairs.shape[0]:
+        dp = np.asarray(s.drude_pairs, np.int32)
+        da = np.asarray(s.drude_aniso, np.int32)
+        has = (da[:, 0] >= 0).astype(np.float32)
+        # pad aniso atom slots with the parent so gathers stay in range
+        da_safe = np.where(da >= 0, da, dp[:, 1:2])
+        idx = np.concatenate([dp, da_safe[:, 1:2], da_safe[:, 2:3],
+                              da_safe[:, 3:4]], axis=1)  # (D,5): d,p,p2,p3,p4
+        prm = np.stack([s.drude_k3, s.drude_k1, s.drude_k2, has],
+                       -1).astype(np.float32)
+        terms.append(("drude", idx, prm))
+    if s.thole_sites.shape[0]:
+        # prm = (qq, screen); idx = (d1,p1,d2,p2)
+        ts = np.asarray(s.thole_sites, np.int32)
+        prm = np.stack([np.asarray(s.thole_qq),
+                        np.asarray(s.thole_screen)], -1).astype(np.float32)
+        terms.append(("thole", ts, prm))
+
+    n = s.n_atoms
+    entries = [[] for _ in range(n)]
+    offset = 0
+    for name, idx, prm in terms:
+        nt, p = idx.shape
+        for t in range(nt):
+            for sl in range(p):
+                a = idx[t, sl]
+                if a >= 0:
+                    entries[a].append(offset + t * p + sl)
+        offset += nt * p
+    kmax = max((len(e) for e in entries), default=1)
+    kmax = max(kmax, 1)
+    incidence = np.full((n, kmax), -1, np.int32)
+    for i, e in enumerate(entries):
+        incidence[i, :len(e)] = e
+    return terms, incidence, offset
+
+
+def energies_and_forces(pos, box, terms, incidence, total_slots):
+    """Returns (dict of per-type energy sums, (N,3) forces)."""
+    energies = {}
+    contribs = []
+    for name, idx, prm in terms:
+        pts = pos[np.maximum(idx, 0)]                       # (NT,P,3)
+        fn, _ = _TERM_FNS[name]
+        e_t, g_t = jax.vmap(
+            jax.value_and_grad(fn), in_axes=(0, 0, None))(pts, jnp.asarray(prm),
+                                                          box)
+        mask = (idx[:, 0] >= 0)
+        e_sum = jnp.sum(jnp.where(mask, e_t, 0.0))
+        energies[name] = energies.get(name, 0.0) + e_sum
+        g_t = jnp.where(mask[:, None, None], g_t, 0.0)
+        contribs.append(g_t.reshape(-1, 3))
+    if not contribs:
+        return energies, jnp.zeros_like(pos)
+    flat = jnp.concatenate(contribs, axis=0)                # (TOT,3)
+    gath = flat[np.maximum(incidence, 0)]                   # (N,K,3)
+    gath = jnp.where((incidence >= 0)[..., None], gath, 0.0)
+    forces = -jnp.sum(gath, axis=1)
+    return energies, forces
