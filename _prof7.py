@@ -75,14 +75,8 @@ def force_loop(force_fn):
 
 
 def f_direct(p, box):
-    _, _, f = allpairs.direct_space_dense(p, box, q, ev.pair_tables,
-                                          s.ewald_beta, s.r_cutoff, 1024)
-    return f
-
-
-def f_excl(p, box):
-    _, f = nonbonded.exclusion_correction(p, box, s.exclusions, s.charges,
-                                          s.ewald_beta)
+    _, _, _, f = allpairs.direct_space_dense(p, box, q, ev.pair_tables,
+                                             s.ewald_beta, s.r_cutoff, 1024)
     return f
 
 
@@ -97,23 +91,28 @@ def f_smooth(p, box):
     return -g
 
 
+def f_terms(p, box):
+    from openmm_velocityverlet_tpu.ops import term_forces
+    tt, ti, tn = ev.term_tables
+    _, f = term_forces.energies_and_forces(p, box, tt, ti, tn)
+    return f
+
+
 def f_recip(p, box):
     g = jax.grad(lambda pp: ewald.reciprocal_energy(
         pp, box, q, s.ewald_beta, s.kmax, chunk=4096))(p)
     return -g
 
 
-def f_bonded(p, box):
-    g = jax.grad(lambda pp: sum(bonded.bonded_energy(s, pp, box).values()))(p)
-    return -g
-
-
 timeit("loop direct only", force_loop(f_direct))
-timeit("loop excl only", force_loop(f_excl))
 timeit("loop exc14 only", force_loop(f_exc))
 timeit("loop smooth only", force_loop(f_smooth))
 timeit("loop recip only", force_loop(f_recip))
-timeit("loop bonded only", force_loop(f_bonded))
+timeit("loop terms only", force_loop(f_terms))
+def f_exc_ev(p, box):
+    _, f = ev.energy_forces(p, box)
+    return f
+timeit("loop all forces", force_loop(f_exc_ev))
 
 # 3. constraints-only loops
 cons = ctx.cons

@@ -50,13 +50,42 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
       grows/gonehot: optional (N,G) for interaction-group masking
     """
     lj_type = np.asarray(lj_type)
-    acoef = np.asarray(acoef, np.float32)
-    bcoef = np.asarray(bcoef, np.float32)
-    arows = acoef[lj_type]
-    brows = bcoef[lj_type]
+    acoef = np.asarray(acoef, np.float64)
+    bcoef = np.asarray(bcoef, np.float64)
+    arows = acoef[lj_type].astype(np.float32)
+    brows = bcoef[lj_type].astype(np.float32)
     T = acoef.shape[0]
     onehot = np.zeros((n_atoms, T), np.float32)
     onehot[np.arange(n_atoms), lj_type] = 1.0
+
+    # The OPLS geometric rule makes the tables multiplicative:
+    # a_ij = sa_i sa_j with sa = sqrt(diag).  NBFIX rows break that for a
+    # handful of type pairs; represent those as a small per-class correction
+    # so the hot loop stays elementwise (a big one-hot matmul would round-trip
+    # (B,N) intermediates through HBM).
+    sa = np.sqrt(np.maximum(np.diag(acoef), 0.0))
+    sb = np.sqrt(np.maximum(np.diag(bcoef), 0.0))
+    dA = acoef - np.outer(sa, sa)
+    dB = bcoef - np.outer(sb, sb)
+    scale = np.maximum(np.abs(acoef), 1e-30)
+    fixed = (np.abs(dA) > 1e-6 * scale) | \
+            (np.abs(dB) > 1e-6 * np.maximum(np.abs(bcoef), 1e-30))
+    nbfix_types = np.where(fixed.any(axis=1))[0]
+    # class 0 = "no correction"; classes 1.. = the types with NBFIX rows
+    type_class = np.zeros(T, np.int32)
+    type_class[nbfix_types] = np.arange(1, len(nbfix_types) + 1)
+    NC = len(nbfix_types) + 1
+    # per-type correction rows indexed by the partner's class
+    corrA = np.zeros((T, NC), np.float32)
+    corrB = np.zeros((T, NC), np.float32)
+    for c, tj in enumerate(nbfix_types):
+        corrA[:, c + 1] = np.where(fixed[:, tj], dA[:, tj], 0.0)
+        corrB[:, c + 1] = np.where(fixed[:, tj], dB[:, tj], 0.0)
+    # exactness check of the factorized representation
+    recA = np.outer(sa, sa) + np.where(fixed, dA, 0.0)
+    exact = np.allclose(recA, acoef, rtol=2e-6, atol=1e-30) and \
+        np.allclose(np.outer(sb, sb) + np.where(fixed, dB, 0.0), bcoef,
+                    rtol=2e-6, atol=1e-30)
 
     excl_bits = np.zeros(n_atoms, np.int32)
     residual = []
@@ -75,7 +104,12 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
 
     out = dict(arows=arows, brows=brows, onehot=onehot,
                excl_bits=excl_bits, residual=residual,
-               grows=None, gonehot=None)
+               grows=None, gonehot=None,
+               factorized=bool(exact),
+               sa=sa[lj_type].astype(np.float32),
+               sb=sb[lj_type].astype(np.float32),
+               cls=type_class[lj_type],
+               corrA=corrA[lj_type], corrB=corrB[lj_type])
     if lj_group is not None and lj_group_allowed is not None \
             and np.asarray(lj_group_allowed).shape[0] > 1:
         g = np.asarray(lj_group)
@@ -129,9 +163,12 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask):
 
 
 def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
-                       row_block: int = 1024):
+                       row_block: int = 1024, lj_mode: str = "einsum"):
     """All-pairs LJ + Ewald-direct + exclusion-correction sweep.
 
+    lj_mode: "einsum" computes pair LJ parameters by one-hot contraction
+    over the type tables (measured faster on TPU); "factorized" uses the
+    sqrt-product + per-class NBFIX correction (useful reference/fallback).
     Returns (E_lj, E_coul_direct, E_excl_corr, F).
     """
     n = pos.shape[0]
@@ -159,6 +196,20 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
     col_id = jnp.arange(n, dtype=jnp.int32)[None, :]
     row_id_all = jnp.arange(n_pad, dtype=jnp.int32)
 
+    factorized = tables["factorized"] and lj_mode == "factorized"
+    if factorized:
+        sa_all = jnp.asarray(tables["sa"])
+        sb_all = jnp.asarray(tables["sb"])
+        cls_all = jnp.asarray(tables["cls"])
+        NC = tables["corrA"].shape[1]
+        # row data = (sa, sb, corrA row, corrB row) stacked along axis 1
+        ab_rows = np.concatenate(
+            [tables["sa"][:, None], tables["sb"][:, None],
+             tables["corrA"], tables["corrB"]], axis=1).astype(np.float32)
+    else:
+        ab_rows = np.stack([tables["arows"], tables["brows"]],
+                           axis=1).reshape(n, -1)
+
     def block(args):
         p_blk, q_blk, a_blk, g_blk, eb_blk, rid = args
         dr = minimum_image(p_blk[:, None, :] - pos[None, :, :], box)  # (B,N,3)
@@ -172,9 +223,24 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
         excl |= (((excl_bits[None, :] >> dbwd) & 1) > 0) & (delta <= -1) & \
                 (delta >= -MAX_EXCL_OFFSET)
         alive = (delta != 0) & (rid[:, None] < n)
-        # pair LJ params via one-hot contraction (MXU)
-        a = jnp.einsum("bt,nt->bn", a_blk[:, 0, :], onehot)
-        b = jnp.einsum("bt,nt->bn", a_blk[:, 1, :], onehot)
+        if factorized:
+            # geometric rule is multiplicative; NBFIX rows add a per-class
+            # correction — all elementwise, fuses into the pair sweep
+            a = a_blk[:, 0:1] * sa_all[None, :]
+            b = a_blk[:, 1:2] * sb_all[None, :]
+            if NC > 1:
+                ca = jnp.zeros_like(a)
+                cb = jnp.zeros_like(b)
+                for k in range(1, NC):
+                    hit = cls_all[None, :] == k
+                    ca = jnp.where(hit, a_blk[:, 2 + k:3 + k], ca)
+                    cb = jnp.where(hit, a_blk[:, 2 + NC + k:3 + NC + k], cb)
+                a = a + ca
+                b = b + cb
+        else:
+            T = onehot.shape[1]
+            a = jnp.einsum("bt,nt->bn", a_blk[:, :T], onehot)
+            b = jnp.einsum("bt,nt->bn", a_blk[:, T:], onehot)
         if grows is not None:
             allowed = jnp.einsum("bg,ng->bn", g_blk, jnp.asarray(gonehot))
             a = a * allowed
@@ -186,14 +252,14 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
         forces = jnp.sum(f_s[..., None] * dr, axis=1)                 # (B,3)
         return forces, jnp.sum(e_lj), jnp.sum(e_coul), jnp.sum(e_corr)
 
-    ab_p = jnp.stack([pad_rows(arows), pad_rows(brows)], axis=1)      # (Np,2,T)
+    ab_p = pad_rows(jnp.asarray(ab_rows))                             # (Np,W)
     if grows is not None:
         g_p = pad_rows(jnp.asarray(grows))
     else:
         g_p = jnp.zeros((n_pad, 1), jnp.float32)
     f_blocks, e_lj_b, e_coul_b, e_corr_b = jax.lax.map(
         block, (pos_p.reshape(-1, B, 3), q_p.reshape(-1, B),
-                ab_p.reshape(-1, B, 2, ab_p.shape[-1]),
+                ab_p.reshape(-1, B, ab_p.shape[-1]),
                 g_p.reshape(-1, B, g_p.shape[-1]),
                 excl_p.reshape(-1, B), row_id_all.reshape(-1, B)))
     forces = f_blocks.reshape(n_pad, 3)[:n]
