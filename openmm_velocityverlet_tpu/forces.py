@@ -20,7 +20,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from .ops import allpairs, bonded, drude, ewald, nonbonded, term_forces, vsites
+from .ops import allpairs, bonded, drude, ewald, nonbonded, pallas_pair, term_forces, vsites
 from .system import System
 
 
@@ -35,11 +35,17 @@ class ForceEvaluator:
 
     def __init__(self, system: System,
                  external_forces: Sequence[Callable] = (),
-                 ewald_chunk: int = 4096, row_block: int = 1024):
+                 ewald_chunk: int = 4096, row_block: int = 1024,
+                 pair_kernel: str = "auto"):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
         self.row_block = row_block
+        if pair_kernel == "auto":
+            # the Pallas kernel needs a real TPU; CPU tests use the jnp path
+            pair_kernel = ("pallas" if jax.default_backend() != "cpu"
+                           else "dense")
+        self.pair_kernel = pair_kernel
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed)
@@ -78,9 +84,15 @@ class ForceEvaluator:
         s = self.system
         pos = self.place_vsites(pos_raw)
 
-        e_lj, e_coul_dir, e_corr, f_direct = allpairs.direct_space_dense(
-            pos, box, jnp.asarray(s.charges), self.pair_tables,
-            s.ewald_beta, s.r_cutoff, row_block=self.row_block)
+        if self.pair_kernel == "pallas":
+            e_lj, e_coul_dir, e_corr, f_direct = \
+                pallas_pair.direct_space_pallas(
+                    pos, box, jnp.asarray(s.charges), self.pair_tables,
+                    s.ewald_beta, s.r_cutoff)
+        else:
+            e_lj, e_coul_dir, e_corr, f_direct = allpairs.direct_space_dense(
+                pos, box, jnp.asarray(s.charges), self.pair_tables,
+                s.ewald_beta, s.r_cutoff, row_block=self.row_block)
         e_exc_q, e_exc_lj, f_exc = nonbonded.exception_terms(
             pos, box, s.exc_idx, s.exc_qq, s.exc_c6, s.exc_c12)
 

@@ -1,0 +1,258 @@
+"""Pallas TPU kernel for the dense all-pairs nonbonded sweep.
+
+Same math as ops/allpairs.py (LJ + Ewald direct + in-pass exclusion
+corrections) but hand-tiled for the TPU memory hierarchy:
+
+* the whole column set (positions, charges, type one-hots, exclusion bits —
+  ~1 MB for the reference workloads) stays resident in VMEM; the grid walks
+  row tiles, so each pair block is computed straight out of VMEM with no
+  HBM round-trips between the type-lookup matmul (MXU) and the pair math
+  (VPU);
+* rows use (tm,1) column-vector layout and columns (1,tn) row-vector layout
+  so every (tm,tn) pair quantity is a clean broadcast;
+* forces are accumulated analytically in-kernel — no autodiff, no scatter.
+
+Fallback for CPU tests / oversized systems is ops/allpairs.direct_space_dense
+(identical semantics; parity is covered by tests/test_pallas.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..units import ONE_4PI_EPS0
+
+_SQRT_PI = 1.7724538509055159
+MAX_EXCL_OFFSET = 31
+
+
+def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
+                 grows_ref, posT_ref, qT_ref, onehotT_ref, bitsT_ref,
+                 gonehotT_ref, box_ref, fout_ref, *, n, n_pad, tm, tn, beta,
+                 r_cutoff, t_dim, use_groups):
+    i = pl.program_id(0)
+    row0 = i * tm
+    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    bits_rows = bits_rows_ref[:, :]                   # (tm,1) i32
+    a_rows = ab_rows_ref[:, :t_dim]                   # (tm,T)
+    b_rows = ab_rows_ref[:, t_dim:]
+    px = pos_rows_ref[:, 0:1]
+    py = pos_rows_ref[:, 1:2]
+    pz = pos_rows_ref[:, 2:3]
+    qrow = q_rows_ref[:, :]                           # (tm,1)
+    bx = box_ref[0]
+    by = box_ref[1]
+    bz = box_ref[2]
+    n_col_tiles = n_pad // tn
+
+    def body(jt, carry):
+        fx, fy, fz, elj, ecoul, ecorr = carry
+        col0 = jt * tn
+        cpos = posT_ref[:, pl.ds(col0, tn)]                     # (3,tn)
+        cx = cpos[0:1, :]
+        cy = cpos[1:2, :]
+        cz = cpos[2:3, :]
+        qcol = qT_ref[:, pl.ds(col0, tn)]                       # (1,tn)
+        bits_col = bitsT_ref[:, pl.ds(col0, tn)]                # (1,tn)
+        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+
+        dx = px - cx
+        dx = dx - bx * jnp.round(dx * (1.0 / bx))
+        dy = py - cy
+        dy = dy - by * jnp.round(dy * (1.0 / by))
+        dz = pz - cz
+        dz = dz - bz * jnp.round(dz * (1.0 / bz))
+        r2 = dx * dx + dy * dy + dz * dz
+
+        delta = col_ids - row_ids                               # (tm,tn)
+        dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
+        dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
+        excl = (((bits_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
+               (delta <= MAX_EXCL_OFFSET)
+        excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
+                (delta >= -MAX_EXCL_OFFSET)
+        alive = (delta != 0) & (row_ids < n) & (col_ids < n)
+
+        onehot_c = onehotT_ref[:, pl.ds(col0, tn)]              # (T,tn)
+        a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
+        b = jnp.dot(b_rows, onehot_c, preferred_element_type=jnp.float32)
+        if use_groups:
+            goh_c = gonehotT_ref[:, pl.ds(col0, tn)]            # (G,tn)
+            allowed = jnp.dot(grows_ref[:, :], goh_c,
+                              preferred_element_type=jnp.float32)
+            a = a * allowed
+            b = b * allowed
+        qq = ONE_4PI_EPS0 * qrow * qcol
+
+        in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
+        corr = alive & excl
+        r2s = jnp.maximum(r2, 1e-10)
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+        r = r2s * inv_r
+        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        inv_r12 = inv_r6 * inv_r6
+        e_lj = a * a * inv_r12 - b * inv_r6
+        f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
+        br = beta * r
+        expm = jnp.exp(-br * br)
+        t = 1.0 / (1.0 + 0.3275911 * br)
+        erfc_br = (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                   + t * (-1.453152027 + t * 1.061405429))))) * expm
+        gauss = (2.0 * beta / _SQRT_PI) * expm
+        e_c = qq * erfc_br * inv_r
+        f_c = qq * (erfc_br * inv_r + gauss) * inv_r2
+        erf_inv_r = (1.0 - erfc_br) * inv_r
+        e_x = -qq * erf_inv_r
+        f_x = -qq * (erf_inv_r - gauss) * inv_r2
+        zero = jnp.zeros_like(r2)
+        f_s = jnp.where(in_range, f_lj + f_c, zero) + \
+            jnp.where(corr, f_x, zero)
+
+        fx = fx + jnp.sum(f_s * dx, axis=1, keepdims=True)
+        fy = fy + jnp.sum(f_s * dy, axis=1, keepdims=True)
+        fz = fz + jnp.sum(f_s * dz, axis=1, keepdims=True)
+        elj = elj + jnp.sum(jnp.where(in_range, e_lj, zero), axis=1,
+                            keepdims=True)
+        ecoul = ecoul + jnp.sum(jnp.where(in_range, e_c, zero), axis=1,
+                                keepdims=True)
+        ecorr = ecorr + jnp.sum(jnp.where(corr, e_x, zero), axis=1,
+                                keepdims=True)
+        return fx, fy, fz, elj, ecoul, ecorr
+
+    z = jnp.zeros((tm, 1), jnp.float32)
+    fx, fy, fz, elj, ecoul, ecorr = jax.lax.fori_loop(
+        0, n_col_tiles, body, (z, z, z, z, z, z))
+    fout_ref[:, 0:1] = fx
+    fout_ref[:, 1:2] = fy
+    fout_ref[:, 2:3] = fz
+    fout_ref[:, 3:4] = elj
+    fout_ref[:, 4:5] = ecoul
+    fout_ref[:, 5:6] = ecorr
+    fout_ref[:, 6:8] = jnp.zeros((tm, 2), jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beta", "r_cutoff", "tm", "tn", "n_real",
+                                    "interpret"))
+def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
+         box, beta, r_cutoff, tm, tn, n_real, interpret=False):
+    n_pad = posT.shape[1]
+    t2 = ab.shape[1]
+    use_groups = gonehotT.shape[0] > 1
+    n_tiles = n_pad // tm
+    kernel = functools.partial(
+        _pair_kernel, n=n_real, n_pad=n_pad, tm=tm, tn=tn, beta=beta,
+        r_cutoff=r_cutoff, t_dim=t2 // 2, use_groups=use_groups)
+    fout = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tm, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # pos rows
+            pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # q rows
+            pl.BlockSpec((tm, t2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # ab rows
+            pl.BlockSpec((tm, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # bits rows
+            pl.BlockSpec((tm, grows.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # group rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # posT full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # qT full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # onehotT full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # bitsT full
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # gonehotT full
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # box (3,)
+        ],
+        out_specs=pl.BlockSpec((tm, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        interpret=interpret,
+    )(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT, box)
+    return fout
+
+
+def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
+                        tm: int = 256, tn: int = 512, interpret: bool = False):
+    """Drop-in replacement for allpairs.direct_space_dense on TPU."""
+    n = pos.shape[0]
+    blk = max(tm, tn)
+    n_pad = ((n + blk - 1) // blk) * blk
+    pad = n_pad - n
+
+    pos2d = jnp.concatenate(
+        [pos, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)
+    q2d = jnp.concatenate(
+        [charges.reshape(-1, 1), jnp.zeros((pad, 1), jnp.float32)], axis=0)
+    ab = np.concatenate([tables["arows"], tables["brows"]],
+                        axis=1).astype(np.float32)
+    ab = jnp.concatenate(
+        [jnp.asarray(ab), jnp.zeros((pad, ab.shape[1]), jnp.float32)], axis=0)
+    bits2d = jnp.concatenate(
+        [jnp.asarray(tables["excl_bits"]).reshape(-1, 1),
+         jnp.zeros((pad, 1), jnp.int32)], axis=0)
+    posT = pos2d.T
+    qT = q2d.T
+    bitsT = bits2d.T
+    onehotT = jnp.concatenate(
+        [jnp.asarray(tables["onehot"]).T,
+         jnp.zeros((tables["onehot"].shape[1], pad), jnp.float32)], axis=1)
+    if tables["grows"] is not None:
+        grows = jnp.concatenate(
+            [jnp.asarray(tables["grows"]),
+             jnp.zeros((pad, tables["grows"].shape[1]), jnp.float32)], axis=0)
+        gonehotT = jnp.concatenate(
+            [jnp.asarray(tables["gonehot"]).T,
+             jnp.zeros((tables["gonehot"].shape[1], pad), jnp.float32)],
+            axis=1)
+    else:
+        grows = jnp.zeros((n_pad, 1), jnp.float32)
+        gonehotT = jnp.zeros((1, n_pad), jnp.float32)
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+
+    fout = _run(pos2d, q2d, ab, bits2d, grows, posT, qT,
+                onehotT, bitsT, gonehotT, box_arr,
+                float(beta), float(r_cutoff), tm, tn, n, interpret)
+    forces = fout[:n, :3]
+    e_lj = 0.5 * jnp.sum(fout[:, 3])
+    e_coul = 0.5 * jnp.sum(fout[:, 4])
+    e_corr = 0.5 * jnp.sum(fout[:, 5])
+
+    # residual excluded pairs handled exactly as in allpairs (tiny list)
+    res = tables["residual"]
+    if res.shape[0] > 0:
+        from . import allpairs as ap
+        from ..utils.pbc import minimum_image
+        i, j = res[:, 0], res[:, 1]
+        arows = jnp.asarray(tables["arows"])
+        brows = jnp.asarray(tables["brows"])
+        onehot = jnp.asarray(tables["onehot"])
+        dr = minimum_image(pos[i] - pos[j], box)
+        r2 = jnp.sum(dr * dr, -1)
+        a = jnp.sum(arows[i] * onehot[j], -1)
+        b = jnp.sum(brows[i] * onehot[j], -1)
+        if tables["grows"] is not None:
+            allowed = jnp.sum(jnp.asarray(tables["grows"])[i]
+                              * jnp.asarray(tables["gonehot"])[j], -1)
+            a = a * allowed
+            b = b * allowed
+        qq = ONE_4PI_EPS0 * charges[i] * charges[j]
+        ones = jnp.ones(r2.shape, bool)
+        _, _, e_corr_r, f_corr_only = ap._pair_terms(
+            r2, qq, a, b, beta, r_cutoff,
+            direct_mask=jnp.zeros_like(ones), corr_mask=ones)
+        e_lj_d, e_coul_d, _, f_direct_only = ap._pair_terms(
+            r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
+            corr_mask=jnp.zeros_like(ones))
+        e_lj = e_lj - jnp.sum(e_lj_d)
+        e_coul = e_coul - jnp.sum(e_coul_d)
+        e_corr = e_corr + jnp.sum(e_corr_r)
+        f_adj = (f_corr_only - f_direct_only)[:, None] * dr
+        forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
+    return e_lj, e_coul, e_corr, forces
