@@ -137,6 +137,179 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
     fout_ref[:, 6:8] = jnp.zeros((tm, 2), jnp.float32)
 
 
+def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
+                     grows_ref, posT_ref, qT_ref, onehotT_ref, bitsT_ref,
+                     gonehotT_ref, box_ref, rows_ref, colacc_ref, *, n, ts,
+                     beta, r_cutoff, t_dim, use_groups):
+    """Upper-triangle tile sweep: Newton's third law halves the pair work.
+
+    TPU grid execution is sequential, so output blocks revisited across the
+    inner (column) grid axis accumulate in VMEM, and the full-length column
+    accumulator (constant index map) collects -f across all programs.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_colacc():
+        colacc_ref[:, :] = jnp.zeros_like(colacc_ref)
+
+    @pl.when(j >= i)
+    def _compute():
+        row0 = i * ts
+        col0 = j * ts
+        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)
+        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
+        bits_rows = bits_rows_ref[:, :]
+        a_rows = ab_rows_ref[:, :t_dim]
+        b_rows = ab_rows_ref[:, t_dim:]
+        px = pos_rows_ref[:, 0:1]
+        py = pos_rows_ref[:, 1:2]
+        pz = pos_rows_ref[:, 2:3]
+        qrow = q_rows_ref[:, :]
+        bx = box_ref[0]
+        by = box_ref[1]
+        bz = box_ref[2]
+
+        cpos = posT_ref[:, pl.ds(col0, ts)]
+        cx = cpos[0:1, :]
+        cy = cpos[1:2, :]
+        cz = cpos[2:3, :]
+        qcol = qT_ref[:, pl.ds(col0, ts)]
+        bits_col = bitsT_ref[:, pl.ds(col0, ts)]
+
+        dx = px - cx
+        dx = dx - bx * jnp.round(dx * (1.0 / bx))
+        dy = py - cy
+        dy = dy - by * jnp.round(dy * (1.0 / by))
+        dz = pz - cz
+        dz = dz - bz * jnp.round(dz * (1.0 / bz))
+        r2 = dx * dx + dy * dy + dz * dz
+
+        delta = col_ids - row_ids
+        dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
+        dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
+        excl = (((bits_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
+               (delta <= MAX_EXCL_OFFSET)
+        excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
+                (delta >= -MAX_EXCL_OFFSET)
+        alive = (delta != 0) & (row_ids < n) & (col_ids < n)
+
+        onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
+        a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
+        b = jnp.dot(b_rows, onehot_c, preferred_element_type=jnp.float32)
+        if use_groups:
+            goh_c = gonehotT_ref[:, pl.ds(col0, ts)]
+            allowed = jnp.dot(grows_ref[:, :], goh_c,
+                              preferred_element_type=jnp.float32)
+            a = a * allowed
+            b = b * allowed
+        qq = ONE_4PI_EPS0 * qrow * qcol
+
+        in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
+        corr = alive & excl
+        r2s = jnp.maximum(r2, 1e-10)
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+        r = r2s * inv_r
+        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        inv_r12 = inv_r6 * inv_r6
+        e_lj = a * a * inv_r12 - b * inv_r6
+        f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
+        br = beta * r
+        expm = jnp.exp(-br * br)
+        t = 1.0 / (1.0 + 0.3275911 * br)
+        erfc_br = (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                   + t * (-1.453152027 + t * 1.061405429))))) * expm
+        gauss = (2.0 * beta / _SQRT_PI) * expm
+        e_c = qq * erfc_br * inv_r
+        f_c = qq * (erfc_br * inv_r + gauss) * inv_r2
+        erf_inv_r = (1.0 - erfc_br) * inv_r
+        e_x = -qq * erf_inv_r
+        f_x = -qq * (erf_inv_r - gauss) * inv_r2
+        zero = jnp.zeros_like(r2)
+        f_s = jnp.where(in_range, f_lj + f_c, zero) + \
+            jnp.where(corr, f_x, zero)
+
+        half = jnp.where(i == j, 0.5, 1.0)
+        fx = jnp.sum(f_s * dx, axis=1, keepdims=True)
+        fy = jnp.sum(f_s * dy, axis=1, keepdims=True)
+        fz = jnp.sum(f_s * dz, axis=1, keepdims=True)
+        elj = half * jnp.sum(jnp.where(in_range, e_lj, zero), axis=1,
+                             keepdims=True)
+        ecoul = half * jnp.sum(jnp.where(in_range, e_c, zero), axis=1,
+                               keepdims=True)
+        ecorr = half * jnp.sum(jnp.where(corr, e_x, zero), axis=1,
+                               keepdims=True)
+        block = jnp.concatenate(
+            [fx, fy, fz, elj, ecoul, ecorr,
+             jnp.zeros((ts, 2), jnp.float32)], axis=1)
+
+        @pl.when(j == i)
+        def _set():
+            rows_ref[:, :] = block
+
+        @pl.when(j > i)
+        def _acc():
+            rows_ref[:, :] = rows_ref[:, :] + block
+            # column-side reaction forces (Newton's third law)
+            gx = -jnp.sum(f_s * dx, axis=0, keepdims=True)       # (1,ts)
+            gy = -jnp.sum(f_s * dy, axis=0, keepdims=True)
+            gz = -jnp.sum(f_s * dz, axis=0, keepdims=True)
+            cur = colacc_ref[:, pl.ds(col0, ts)]
+            upd = jnp.concatenate(
+                [gx, gy, gz, jnp.zeros((5, ts), jnp.float32)], axis=0)
+            colacc_ref[:, pl.ds(col0, ts)] = cur + upd
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beta", "r_cutoff", "ts", "n_real",
+                                    "interpret"))
+def _run_tri(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT,
+             gonehotT, box, beta, r_cutoff, ts, n_real, interpret=False):
+    n_pad = posT.shape[1]
+    t2 = ab.shape[1]
+    use_groups = gonehotT.shape[0] > 1
+    n_tiles = n_pad // ts
+    kernel = functools.partial(
+        _pair_tri_kernel, n=n_real, ts=ts, beta=beta, r_cutoff=r_cutoff,
+        t_dim=t2 // 2, use_groups=use_groups)
+    rows, colacc = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_tiles),
+        in_specs=[
+            pl.BlockSpec((ts, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, t2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, grows.shape[1]), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ts, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT, box)
+    return rows, colacc
+
+
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "tm", "tn", "n_real",
                                     "interpret"))
@@ -179,10 +352,14 @@ def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
 
 
 def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
-                        tm: int = 256, tn: int = 512, interpret: bool = False):
-    """Drop-in replacement for allpairs.direct_space_dense on TPU."""
+                        tm: int = 256, tn: int = 512, interpret: bool = False,
+                        symmetric: bool = True, ts: int = 512):
+    """Drop-in replacement for allpairs.direct_space_dense on TPU.
+
+    symmetric=True runs the upper-triangle kernel (half the pair work via
+    Newton's third law); False runs the full rectangular sweep."""
     n = pos.shape[0]
-    blk = max(tm, tn)
+    blk = ts if symmetric else max(tm, tn)
     n_pad = ((n + blk - 1) // blk) * blk
     pad = n_pad - n
 
@@ -216,13 +393,23 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         gonehotT = jnp.zeros((1, n_pad), jnp.float32)
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
 
-    fout = _run(pos2d, q2d, ab, bits2d, grows, posT, qT,
-                onehotT, bitsT, gonehotT, box_arr,
-                float(beta), float(r_cutoff), tm, tn, n, interpret)
-    forces = fout[:n, :3]
-    e_lj = 0.5 * jnp.sum(fout[:, 3])
-    e_coul = 0.5 * jnp.sum(fout[:, 4])
-    e_corr = 0.5 * jnp.sum(fout[:, 5])
+    if symmetric:
+        rows, colacc = _run_tri(pos2d, q2d, ab, bits2d, grows, posT, qT,
+                                onehotT, bitsT, gonehotT, box_arr,
+                                float(beta), float(r_cutoff), ts, n,
+                                interpret)
+        forces = rows[:n, :3] + colacc[:3, :n].T
+        e_lj = jnp.sum(rows[:, 3])
+        e_coul = jnp.sum(rows[:, 4])
+        e_corr = jnp.sum(rows[:, 5])
+    else:
+        fout = _run(pos2d, q2d, ab, bits2d, grows, posT, qT,
+                    onehotT, bitsT, gonehotT, box_arr,
+                    float(beta), float(r_cutoff), tm, tn, n, interpret)
+        forces = fout[:n, :3]
+        e_lj = 0.5 * jnp.sum(fout[:, 3])
+        e_coul = 0.5 * jnp.sum(fout[:, 4])
+        e_corr = 0.5 * jnp.sum(fout[:, 5])
 
     # residual excluded pairs handled exactly as in allpairs (tiny list)
     res = tables["residual"]

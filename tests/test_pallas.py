@@ -28,8 +28,11 @@ def _random_tables(n, T, rng, bandwidth=8):
     return lj_type, a, b, excl
 
 
-@pytest.mark.parametrize("use_groups", [False, True])
-def test_pallas_matches_dense(use_groups):
+@pytest.mark.parametrize("use_groups,symmetric", [(False, False),
+                                                  (True, False),
+                                                  (False, True),
+                                                  (True, True)])
+def test_pallas_matches_dense(use_groups, symmetric):
     rng = np.random.default_rng(0)
     n, T = 700, 5
     lj_type, a, b, excl = _random_tables(n, T, rng)
@@ -44,7 +47,9 @@ def test_pallas_matches_dense(use_groups):
 
     e1 = allpairs.direct_space_dense(pos, box, q, tables, beta, rc, 256)
     e2 = pallas_pair.direct_space_pallas(pos, box, q, tables, beta, rc,
-                                         tm=128, tn=128, interpret=True)
+                                         tm=128, tn=128, ts=128,
+                                         interpret=True,
+                                         symmetric=symmetric)
     for x, y in zip(e1[:3], e2[:3]):
         np.testing.assert_allclose(float(y), float(x), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(e2[3]), np.asarray(e1[3]),
