@@ -39,6 +39,16 @@ class ConstraintData:
     cl_cons: jnp.ndarray     # (NCL,K) i32 constraint ids, -1 pad
     cl_w: jnp.ndarray        # (NCL,K,K) coupling weights sum(+-1/m_shared)
     cl_slot: jnp.ndarray     # (C,) i32 flat slot (cluster*K + k) of constraint
+    # cluster-local solve tables: every Newton iteration runs on (NCL,...)
+    # tensors; the global (N,3) arrays are read once and written once.
+    cl_atoms: jnp.ndarray    # (NCL,A) i32 atom ids, -1 pad
+    cl_ai: jnp.ndarray       # (NCL,K) i32 local slot of pair[...,0]
+    cl_bi: jnp.ndarray       # (NCL,K) i32 local slot of pair[...,1]
+    cl_sign: jnp.ndarray     # (NCL,A,K) f32 +1/-1/0 incidence
+    cl_invm: jnp.ndarray     # (NCL,A) f32 inverse masses (0 for pad)
+    cl_d2: jnp.ndarray       # (NCL,K) f32 target distance^2 (1 for pad)
+    atom_slot: jnp.ndarray   # (N,) i32 flat (cluster*A+a) slot, 0 if none
+    atom_in_cluster: jnp.ndarray  # (N,) bool
     tolerance: float = struct.field(pytree_node=False, default=1e-5)
     max_iterations: int = struct.field(pytree_node=False, default=150)
     use_clusters: bool = struct.field(pytree_node=False, default=False)
@@ -98,10 +108,16 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
         ncl = len(clusters)
         cl_cons = np.full((ncl, K), -1, np.int32)
         cl_slot = np.zeros((c,), np.int32)
+        cluster_atom_lists = []
         for r, (root, members) in enumerate(sorted(clusters.items())):
             cl_cons[r, :len(members)] = members
+            atoms = []
             for k, m in enumerate(members):
                 cl_slot[m] = r * K + k
+                for a in (int(pairs[m, 0]), int(pairs[m, 1])):
+                    if a not in atoms:
+                        atoms.append(a)
+            cluster_atom_lists.append(atoms)
         # coupling weights w[c,c'] = sum over shared atoms of
         # sign_c(a)*sign_c'(a)/m_a  (sign +1 for the first atom of the pair)
         cc = np.maximum(cl_cons, 0)
@@ -120,10 +136,47 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
                             if ax == ay:
                                 acc += sx * sy * float(inv_masses[ax])
                     w[r, x, y] = acc
+        A = max(len(a) for a in cluster_atom_lists)
+        cl_atoms = np.full((ncl, A), -1, np.int32)
+        cl_ai = np.zeros((ncl, K), np.int32)
+        cl_bi = np.ones((ncl, K), np.int32)
+        cl_sign = np.zeros((ncl, A, K), np.float32)
+        cl_invm = np.zeros((ncl, A), np.float32)
+        cl_d2 = np.ones((ncl, K), np.float32)
+        ims_np = np.asarray(inv_masses, np.float32)
+        for r, atoms in enumerate(cluster_atom_lists):
+            cl_atoms[r, :len(atoms)] = atoms
+            cl_invm[r, :len(atoms)] = ims_np[atoms]
+            for k in range(K):
+                m = cl_cons[r, k]
+                if m < 0:
+                    continue
+                ai = atoms.index(int(pairs[m, 0]))
+                bi = atoms.index(int(pairs[m, 1]))
+                cl_ai[r, k] = ai
+                cl_bi[r, k] = bi
+                cl_sign[r, ai, k] = 1.0
+                cl_sign[r, bi, k] = -1.0
+                cl_d2[r, k] = float(dists[m]) ** 2
+        n_atoms_total = n
+        atom_slot = np.zeros((n_atoms_total,), np.int32)
+        atom_in_cluster = np.zeros((n_atoms_total,), bool)
+        for r, atoms in enumerate(cluster_atom_lists):
+            for a_local, a in enumerate(atoms):
+                atom_slot[a] = r * A + a_local
+                atom_in_cluster[a] = True
     else:
         cl_cons = np.zeros((0, K), np.int32)
         w = np.zeros((0, K, K), np.float32)
         cl_slot = np.zeros((c,), np.int32)
+        cl_atoms = np.zeros((0, 2), np.int32)
+        cl_ai = np.zeros((0, K), np.int32)
+        cl_bi = np.zeros((0, K), np.int32)
+        cl_sign = np.zeros((0, 2, K), np.float32)
+        cl_invm = np.zeros((0, 2), np.float32)
+        cl_d2 = np.ones((0, K), np.float32)
+        atom_slot = np.zeros((n,), np.int32)
+        atom_in_cluster = np.zeros((n,), bool)
 
     # host numpy: embeds as compile-time constants inside the jitted step so
     # TPU gathers take the fast constant-index lowering
@@ -131,6 +184,9 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
         pairs=pairs, dist=dists, inv_mass_sum=inv_mass_sum,
         atom_cons=atom_cons, atom_sign=atom_sign,
         cl_cons=cl_cons, cl_w=w, cl_slot=cl_slot,
+        cl_atoms=cl_atoms, cl_ai=cl_ai, cl_bi=cl_bi, cl_sign=cl_sign,
+        cl_invm=cl_invm, cl_d2=cl_d2, atom_slot=atom_slot,
+        atom_in_cluster=atom_in_cluster,
         use_clusters=bool(use_clusters),
         tolerance=tolerance, max_iterations=max_iterations)
 
@@ -175,49 +231,71 @@ def _apply_cluster_g(x, cons, g_cl, ref, inv_masses):
     return _apply_corrections(x, cons, g, ref, inv_masses)
 
 
+def _local_gather(x, cons):
+    """(N,3) -> (NCL,A,3) cluster-local copies (constant-index gather)."""
+    idx = np.maximum(np.asarray(cons.cl_atoms), 0)
+    return x[idx]
+
+
+def _local_pair(xloc, cons):
+    ai = np.asarray(cons.cl_ai)
+    bi = np.asarray(cons.cl_bi)
+    xa = jnp.take_along_axis(xloc, jnp.asarray(ai)[..., None], axis=1)
+    xb = jnp.take_along_axis(xloc, jnp.asarray(bi)[..., None], axis=1)
+    return xa - xb                                             # (NCL,K,3)
+
+
+def _local_writeback(x_global, xloc, cons):
+    flat = xloc.reshape(-1, xloc.shape[-1])
+    mask = np.asarray(cons.atom_in_cluster)[:, None]
+    return jnp.where(mask, flat[np.asarray(cons.atom_slot)], x_global)
+
+
 def solve_velocity_clusters(pos, vel, box, cons: ConstraintData, inv_masses):
     """Exact RATTLE: the velocity projection is linear — one batched (K,K)
-    solve per cluster, no iteration (vs OpenMM's iterative CCMA)."""
-    i, j = cons.pairs[:, 0], cons.pairs[:, 1]
-    ref = minimum_image(pos[i] - pos[j], box)                  # (C,3)
-    rv = jnp.sum((vel[i] - vel[j]) * ref, -1)                  # (C,)
-    cc = jnp.maximum(cons.cl_cons, 0)
-    pad = (cons.cl_cons >= 0)
-    ref_cl = ref[cc]                                           # (NCL,K,3)
-    dots = jnp.einsum("nkx,nlx->nkl", ref_cl, ref_cl)
+    solve per cluster, no iteration (vs OpenMM's iterative CCMA).  Runs
+    entirely on cluster-local tensors."""
+    ploc = _local_gather(pos, cons)                            # (NCL,A,3)
+    vloc = _local_gather(vel, cons)
+    ref = minimum_image(_local_pair(ploc, cons), box)          # (NCL,K,3)
+    rv = jnp.sum(_local_pair(vloc, cons) * ref, -1)            # (NCL,K)
+    pad = np.asarray(cons.cl_cons) >= 0
+    dots = jnp.einsum("nkx,nlx->nkl", ref, ref)
     A = cons.cl_w * dots
-    eye = jnp.eye(cons.cl_cons.shape[1], dtype=A.dtype)
-    A = jnp.where((pad[:, :, None] & pad[:, None, :]), A, eye)
-    b = rv[cc] * pad
-    g_cl = _solve_small(A, b)
-    return _apply_cluster_g(vel, cons, g_cl, ref, inv_masses)
+    eye = np.eye(cons.cl_cons.shape[1], dtype=np.float32)
+    A = jnp.where(np.asarray(pad[:, :, None] & pad[:, None, :]), A, eye)
+    g = _solve_small(A, rv * pad)                              # (NCL,K)
+    dv = jnp.einsum("nak,nk,nkx->nax", np.asarray(cons.cl_sign), g, ref)
+    vloc = vloc - np.asarray(cons.cl_invm)[..., None] * dv
+    return _local_writeback(vel, vloc, cons)
 
 
 def solve_position_clusters(pos_ref, pos_new, box, cons: ConstraintData,
                             inv_masses):
     """SHAKE via Newton on the per-cluster system: sigma_c = |x_i-x_j|^2-d^2,
-    J_cc' = 2 (delta_c . ref_c') w_cc'; each iteration is one batched (K,K)
-    solve.  Quadratic convergence: newton_iters=3 reaches the f32 floor."""
-    i, j = cons.pairs[:, 0], cons.pairs[:, 1]
-    ref = minimum_image(pos_ref[i] - pos_ref[j], box)          # (C,3) fixed
-    d2 = cons.dist * cons.dist
-    cc = jnp.maximum(cons.cl_cons, 0)
-    pad = (cons.cl_cons >= 0)
-    ref_cl = ref[cc]                                           # (NCL,K,3)
-    eye = jnp.eye(cons.cl_cons.shape[1], dtype=pos_new.dtype)
+    J_cc' = 2 (delta_c . ref_c') w_cc'; each Newton iteration is one batched
+    (K,K) solve on cluster-local tensors (the global arrays are read once,
+    written once).  newton_iters=3 reaches the f32 floor."""
+    refloc = _local_gather(pos_ref, cons)
+    xloc = _local_gather(pos_new, cons)
+    ref = minimum_image(_local_pair(refloc, cons), box)        # (NCL,K,3)
+    pad = np.asarray(cons.cl_cons) >= 0
+    eye = np.eye(cons.cl_cons.shape[1], dtype=np.float32)
+    padm = np.asarray(pad[:, :, None] & pad[:, None, :])
+    sign = np.asarray(cons.cl_sign)
+    invm = np.asarray(cons.cl_invm)[..., None]
 
     def body(_, x):
-        delta = minimum_image(x[i] - x[j], box)
-        sigma = jnp.sum(delta * delta, -1) - d2
-        delta_cl = delta[cc]
-        Jdots = jnp.einsum("nkx,nlx->nkl", delta_cl, ref_cl)
-        J = 2.0 * cons.cl_w * Jdots
-        J = jnp.where((pad[:, :, None] & pad[:, None, :]), J, eye)
-        b = sigma[cc] * pad
-        g_cl = _solve_small(J, b)
-        return _apply_cluster_g(x, cons, g_cl, ref, inv_masses)
+        delta = minimum_image(_local_pair(x, cons), box)
+        sigma = jnp.sum(delta * delta, -1) - cons.cl_d2
+        J = 2.0 * cons.cl_w * jnp.einsum("nkx,nlx->nkl", delta, ref)
+        J = jnp.where(padm, J, eye)
+        g = _solve_small(J, sigma * pad)
+        dxl = jnp.einsum("nak,nk,nkx->nax", sign, g, ref)
+        return x - invm * dxl
 
-    return jax.lax.fori_loop(0, cons.newton_iters, body, pos_new)
+    xloc = jax.lax.fori_loop(0, cons.newton_iters, body, xloc)
+    return _local_writeback(pos_new, xloc, cons)
 
 
 def apply_position_constraints(pos_ref, pos_new, box, cons: ConstraintData,
