@@ -22,11 +22,13 @@ def old_e(p):
     return sum(terms.values()), terms
 
 (e_old, terms_old), g_old = jax.value_and_grad(old_e, has_aux=True)(pos)
+from openmm_velocityverlet_tpu.ops import nonbonded
+_, _, f_exc_old = nonbonded.exception_terms(pos, box, s.exc_idx, s.exc_qq, s.exc_c6, s.exc_c12)
 tt, ti, tn = term_forces.build_term_tables(s)
 terms_new, f_new = term_forces.energies_and_forces(pos, box, tt, ti, tn)
-for k in sorted(terms_new):
+for k in sorted(set(terms_new) & set(terms_old)):
     print(f"{k:14s} old={float(terms_old[k]):14.4f} new={float(terms_new[k]):14.4f}")
-f_old = -np.asarray(g_old)
+f_old = -np.asarray(g_old) + np.asarray(f_exc_old)
 f_new = np.asarray(f_new)
 err = np.abs(f_new - f_old).max()
 scale = np.abs(f_old).max()

@@ -35,7 +35,7 @@ class ForceEvaluator:
 
     def __init__(self, system: System,
                  external_forces: Sequence[Callable] = (),
-                 ewald_chunk: int = 4096, row_block: int = 1024,
+                 ewald_chunk: int = 16384, row_block: int = 1024,
                  pair_kernel: str = "auto"):
         self.system = system
         self.external_forces = list(external_forces)
@@ -93,8 +93,6 @@ class ForceEvaluator:
             e_lj, e_coul_dir, e_corr, f_direct = allpairs.direct_space_dense(
                 pos, box, jnp.asarray(s.charges), self.pair_tables,
                 s.ewald_beta, s.r_cutoff, row_block=self.row_block)
-        e_exc_q, e_exc_lj, f_exc = nonbonded.exception_terms(
-            pos, box, s.exc_idx, s.exc_qq, s.exc_c6, s.exc_c12)
 
         (e_smooth, terms), grad_smooth = jax.value_and_grad(
             self._smooth_energy, has_aux=True)(pos, box)
@@ -104,13 +102,11 @@ class ForceEvaluator:
 
         terms = dict(terms)
         for name in ("bond", "angle", "urey_bradley", "dihedral", "improper",
-                     "drude", "thole"):
+                     "drude", "thole", "exception_coul", "exception_lj"):
             terms[name] = term_energies.get(name, jnp.zeros((), pos.dtype))
         terms["lj"] = e_lj
         terms["coul_direct"] = e_coul_dir
         terms["coul_excl_corr"] = e_corr
-        terms["exception_coul"] = e_exc_q
-        terms["exception_lj"] = e_exc_lj
         if s.ewald_beta > 0:
             terms["coul_self"] = nonbonded.ewald_self_energy(
                 s.charges, s.ewald_beta, box)
@@ -118,7 +114,7 @@ class ForceEvaluator:
             terms["lj_lrc"] = nonbonded.dispersion_correction(
                 box, s.disp_coef_a2, s.disp_coef_b, s.r_cutoff)
 
-        forces = f_direct + f_exc + f_terms - grad_smooth
+        forces = f_direct + f_terms - grad_smooth
         forces = vsites.redistribute_forces(
             pos_raw, forces, s.vsite_index, s.vsite_parents, s.vsite_origin_w,
             s.vsite_x_w, s.vsite_y_w, s.vsite_local)

@@ -104,7 +104,20 @@ def _thole_e(pts, prm, box):
             + pair(pts[1], pts[2], -1.0) + pair(pts[1], pts[3], 1.0))
 
 
+def _exception_e(pts, prm, box):
+    """1-4 exception: full scaled Coulomb + LJ in one pass.
+    prm: (qq, c6, c12); aux returns the (coul, lj) split for reporting."""
+    dr = minimum_image(pts[0] - pts[1], box)
+    r2 = jnp.sum(dr * dr) + _EPS
+    inv_r2 = 1.0 / r2
+    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    e_coul = prm[0] * jnp.sqrt(inv_r2)
+    e_lj = prm[2] * inv_r6 * inv_r6 - prm[1] * inv_r6
+    return e_coul + e_lj, (e_coul, e_lj)
+
+
 _TERM_FNS = {
+    "exception": (_exception_e, 2),
     "bond": (_bond_e, 2),
     "urey_bradley": (_bond_e, 2),
     "angle": (_angle_e, 3),
@@ -124,23 +137,41 @@ def build_term_tables(system):
     """
     s = system
     terms = []
-    if s.bonds.shape[0]:
-        terms.append(("bond", np.asarray(s.bonds, np.int32),
-                      np.stack([s.bond_r0, s.bond_k], -1).astype(np.float32)))
+    # Merged term groups keep the number of vmapped passes (and therefore
+    # fused-kernel launches per step) low: Urey-Bradley bonds are bonds, and
+    # the OPLS improper k(1-cos 2 phi) equals a dihedral with n=2, phase=pi.
+    # ``split``: (labels, which) to recover per-group energy reports.
+    nb, nu = s.bonds.shape[0], s.ub_bonds.shape[0]
+    if nb + nu:
+        idx = np.concatenate([np.asarray(s.bonds, np.int32).reshape(-1, 2),
+                              np.asarray(s.ub_bonds,
+                                         np.int32).reshape(-1, 2)], 0)
+        prm = np.concatenate(
+            [np.stack([s.bond_r0, s.bond_k], -1).reshape(-1, 2),
+             np.stack([s.ub_r0, s.ub_k], -1).reshape(-1, 2)],
+            0).astype(np.float32)
+        which = np.concatenate([np.zeros(nb), np.ones(nu)]).astype(np.float32)
+        terms.append(("bond", idx, prm,
+                      (("bond", "urey_bradley"), which)))
     if s.angles.shape[0]:
         terms.append(("angle", np.asarray(s.angles, np.int32),
-                      np.stack([s.angle_theta0, s.angle_k], -1).astype(np.float32)))
-    if s.ub_bonds.shape[0]:
-        terms.append(("urey_bradley", np.asarray(s.ub_bonds, np.int32),
-                      np.stack([s.ub_r0, s.ub_k], -1).astype(np.float32)))
-    if s.dihedrals.shape[0]:
-        terms.append(("dihedral", np.asarray(s.dihedrals, np.int32),
-                      np.stack([s.dihedral_n, s.dihedral_phase,
-                                s.dihedral_k], -1).astype(np.float32)))
-    if s.impropers.shape[0]:
-        terms.append(("improper", np.asarray(s.impropers, np.int32),
-                      np.asarray(s.improper_k,
-                                 np.float32).reshape(-1, 1)))
+                      np.stack([s.angle_theta0, s.angle_k],
+                               -1).astype(np.float32), None))
+    nd, ni = s.dihedrals.shape[0], s.impropers.shape[0]
+    if nd + ni:
+        idx = np.concatenate([np.asarray(s.dihedrals,
+                                         np.int32).reshape(-1, 4),
+                              np.asarray(s.impropers,
+                                         np.int32).reshape(-1, 4)], 0)
+        imp_k = np.asarray(s.improper_k, np.float32).reshape(-1)
+        prm = np.concatenate(
+            [np.stack([s.dihedral_n, s.dihedral_phase,
+                       s.dihedral_k], -1).reshape(-1, 3),
+             np.stack([np.full(ni, 2.0), np.full(ni, np.pi), imp_k],
+                      -1).reshape(-1, 3)], 0).astype(np.float32)
+        which = np.concatenate([np.zeros(nd), np.ones(ni)]).astype(np.float32)
+        terms.append(("dihedral", idx, prm,
+                      (("dihedral", "improper"), which)))
     if s.drude_pairs.shape[0]:
         dp = np.asarray(s.drude_pairs, np.int32)
         da = np.asarray(s.drude_aniso, np.int32)
@@ -151,18 +182,29 @@ def build_term_tables(system):
                               da_safe[:, 3:4]], axis=1)  # (D,5): d,p,p2,p3,p4
         prm = np.stack([s.drude_k3, s.drude_k1, s.drude_k2, has],
                        -1).astype(np.float32)
-        terms.append(("drude", idx, prm))
+        terms.append(("drude", idx, prm, None))
+    exc_idx = np.asarray(s.exc_idx)
+    if exc_idx.size and (exc_idx >= 0).any():
+        n_atoms, xa = exc_idx.shape
+        ii = np.repeat(np.arange(n_atoms), xa)
+        jj = exc_idx.reshape(-1)
+        keep = (jj >= 0) & (jj > ii)          # each exception once
+        pe = np.stack([ii[keep], jj[keep]], -1).astype(np.int32)
+        qq = np.asarray(s.exc_qq).reshape(-1)[keep].astype(np.float32)
+        c6 = np.asarray(s.exc_c6).reshape(-1)[keep].astype(np.float32)
+        c12 = np.asarray(s.exc_c12).reshape(-1)[keep].astype(np.float32)
+        terms.append(("exception", pe, np.stack([qq, c6, c12], -1), None))
     if s.thole_sites.shape[0]:
         # prm = (qq, screen); idx = (d1,p1,d2,p2)
         ts = np.asarray(s.thole_sites, np.int32)
         prm = np.stack([np.asarray(s.thole_qq),
                         np.asarray(s.thole_screen)], -1).astype(np.float32)
-        terms.append(("thole", ts, prm))
+        terms.append(("thole", ts, prm, None))
 
     n = s.n_atoms
     entries = [[] for _ in range(n)]
     offset = 0
-    for name, idx, prm in terms:
+    for name, idx, prm, _split in terms:
         nt, p = idx.shape
         for t in range(nt):
             for sl in range(p):
@@ -182,15 +224,28 @@ def energies_and_forces(pos, box, terms, incidence, total_slots):
     """Returns (dict of per-type energy sums, (N,3) forces)."""
     energies = {}
     contribs = []
-    for name, idx, prm in terms:
+    for name, idx, prm, split in terms:
         pts = pos[np.maximum(idx, 0)]                       # (NT,P,3)
         fn, _ = _TERM_FNS[name]
-        e_t, g_t = jax.vmap(
-            jax.value_and_grad(fn), in_axes=(0, 0, None))(pts, jnp.asarray(prm),
-                                                          box)
-        mask = (idx[:, 0] >= 0)
-        e_sum = jnp.sum(jnp.where(mask, e_t, 0.0))
-        energies[name] = energies.get(name, 0.0) + e_sum
+        if name == "exception":
+            (e_t, aux), g_t = jax.vmap(
+                jax.value_and_grad(fn, has_aux=True),
+                in_axes=(0, 0, None))(pts, jnp.asarray(prm), box)
+            mask = (idx[:, 0] >= 0)
+            energies["exception_coul"] = jnp.sum(jnp.where(mask, aux[0], 0.0))
+            energies["exception_lj"] = jnp.sum(jnp.where(mask, aux[1], 0.0))
+        else:
+            e_t, g_t = jax.vmap(
+                jax.value_and_grad(fn),
+                in_axes=(0, 0, None))(pts, jnp.asarray(prm), box)
+            mask = (idx[:, 0] >= 0)
+            e_m = jnp.where(mask, e_t, 0.0)
+            if split is not None:
+                (la, lb), which = split
+                energies[la] = jnp.sum(jnp.where(which < 0.5, e_m, 0.0))
+                energies[lb] = jnp.sum(jnp.where(which >= 0.5, e_m, 0.0))
+            else:
+                energies[name] = jnp.sum(e_m)
         g_t = jnp.where(mask[:, None, None], g_t, 0.0)
         contribs.append(g_t.reshape(-1, 3))
     if not contribs:
