@@ -61,7 +61,6 @@ def timeit(name, fn):
 
 # 1. full step, new exact constraints
 single = ctx._build_step_fn()
-timeit("full step (cluster cons)", single)
 
 # 2. force-term isolation loops: drift positions with only one term
 def force_loop(force_fn):
@@ -74,15 +73,17 @@ def force_loop(force_fn):
     return stage
 
 
+from openmm_velocityverlet_tpu.ops import pallas_pair
+
 def f_direct(p, box):
-    _, _, _, f = allpairs.direct_space_dense(p, box, q, ev.pair_tables,
-                                             s.ewald_beta, s.r_cutoff, 1024)
+    _, _, _, f = pallas_pair.direct_space_pallas(p, box, q, ev.pair_tables,
+                                                 s.ewald_beta, s.r_cutoff)
     return f
 
-
-def f_exc(p, box):
-    _, _, f = nonbonded.exception_terms(p, box, s.exc_idx, s.exc_qq, s.exc_c6,
-                                        s.exc_c12)
+def f_direct_1024(p, box):
+    _, _, _, f = pallas_pair.direct_space_pallas(p, box, q, ev.pair_tables,
+                                                 s.ewald_beta, s.r_cutoff,
+                                                 ts=1024)
     return f
 
 
@@ -104,8 +105,6 @@ def f_recip(p, box):
     return -g
 
 
-timeit("loop direct only", force_loop(f_direct))
-timeit("loop exc14 only", force_loop(f_exc))
 timeit("loop smooth only", force_loop(f_smooth))
 timeit("loop recip only", force_loop(f_recip))
 timeit("loop terms only", force_loop(f_terms))
@@ -118,6 +117,20 @@ timeit("loop all forces", force_loop(f_exc_ev))
 cons = ctx.cons
 
 
+from openmm_velocityverlet_tpu.integrators import stepping as stp
+def stage_thermo_hw(cr):
+    st = cr.state
+    vel, eta, eta_dot, eta_dd, _ = stp.nh_scale_velocities(
+        st.vel, np.asarray(s.masses), np.asarray(s.inv_masses),
+        s.particle_mol_id, s.mol_masses, s.mol_inv_masses, ctx.data,
+        st.nh_eta, st.nh_eta_dot, st.nh_eta_dotdot)
+    hw_pos, vel = stp.apply_hardwall(st.pos, vel, np.asarray(s.masses),
+                                     np.asarray(s.inv_masses), st.box,
+                                     ctx.data)
+    return cr.replace(state=st.replace(pos=hw_pos, vel=vel, nh_eta=eta,
+                                       nh_eta_dot=eta_dot,
+                                       nh_eta_dotdot=eta_dd))
+
 def stage_cons(cr):
     st = cr.state
     newp = st.pos + dt_ * st.vel
@@ -129,4 +142,5 @@ def stage_cons(cr):
 
 
 timeit("loop cluster cons only", stage_cons)
+timeit("loop thermo+hardwall", stage_thermo_hw)
 mark("done")
