@@ -66,6 +66,12 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=300, P=1,
         # path of the VV integrator applied to every particle
         if is_drude:
             print("Drude Langevin thermostat: 5.0 /ps, 20 /ps")
+            if dt > 0.00051:
+                print("WARNING: CLPol Drude springs sit at omega*dt ~ 1 for "
+                      "dt=1 fs; the weak-coupling Langevin bath cannot hold "
+                      "T_Drude there (numerical resonance pumps the relative "
+                      "DOF).  Use --dt 0.00025..0.0005 with the Langevin "
+                      "thermostat, or the TGNH thermostat at 1 fs.")
         else:
             print("Langevin thermostat: 1.0 /ps")
             integrator.setFriction(1.0)

@@ -212,9 +212,9 @@ class Context:
         has_cons = cons.n_constraints > 0
         baro_cfg = self.barostat_cfg
 
-        def extra_forces(pos, vel, box, key):
+        def extra_forces(pos, vel, box, key, ld_as_force=True):
             f = jnp.zeros_like(pos)
-            if has_ld:
+            if has_ld and ld_as_force:
                 f = f + stepping.langevin_extra_force(vel, masses, key, data)
             if has_ef:
                 idx, fz = stepping.efield_extra_force(sysm.charges, data)
@@ -286,7 +286,10 @@ class Context:
             _, F = ev.energy_forces(pos, box)
             key, k_l = jax.random.split(st.rng_key)
             if has_extra:
-                F = F + extra_forces(pos, vel, box, k_l)
+                # Langevin is applied as an exact OU velocity map in the
+                # thermostat slot below (stable for stiff Drude springs),
+                # not as an explicit drag force.
+                F = F + extra_forces(pos, vel, box, k_l, ld_as_force=False)
             # full kick (integrateMiddleVel)
             vel = vel + dt * inv_m[:, None] * F
             if has_cons:
@@ -295,6 +298,11 @@ class Context:
             half1 = 0.5 * dt * vel
             if has_nh:
                 vel, st = thermostat(pos, vel, box, st)
+            if has_ld:
+                vel = stepping.langevin_ou_update(vel, masses, k_l, data)
+                if has_cons:
+                    vel = cons_mod.apply_velocity_constraints(
+                        pos, vel, box, cons, inv_m)
             delta = half1 + 0.5 * dt * vel
             new_pos, new_err = stepping.compensated_add(pos, err, delta)
             if has_cons:

@@ -99,6 +99,48 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
     return new_vel, eta, eta_dot, eta_dotdot, ke2
 
 
+def langevin_ou_update(vel, masses, key, data: IntegratorData):
+    """Exact Ornstein-Uhlenbeck velocity update for the Langevin-thermostated
+    particles — the middle-scheme analog of OpenMM's DrudeLangevinIntegrator.
+
+    The reference's extra-force drag (drudeLangevin.cu) is an explicit-Euler
+    discretization; against the stiff Drude oscillator (omega*dt ~ 0.6 for
+    CLPol alphas) it pumps the relative DOF instead of cooling them.  The OU
+    map  v <- c1 v + sqrt(kT/m (1-c1^2)) xi  with c1 = exp(-gamma dt) has the
+    exact stationary distribution at any stiffness, applied per group:
+    normal particles at T, Drude pair COM at T, pair relative motion at
+    T_drude (same partition as addExtraForceDrudeLangevin).
+    """
+    dt = data.dt
+    k1n, k1p = jax.random.split(key)
+    if data.ld_normal.shape[0]:
+        idx = data.ld_normal
+        c1 = jnp.exp(-data.friction * dt)
+        m = masses[idx][:, None]
+        sig = jnp.sqrt(BOLTZ * data.temperature / m * (1.0 - c1 * c1))
+        xi = jax.random.normal(k1n, (idx.shape[0], 3), vel.dtype)
+        vel = vel.at[idx].set(c1 * vel[idx] + sig * xi)
+    if data.ld_pairs.shape[0]:
+        d, p = data.ld_pairs[:, 0], data.ld_pairs[:, 1]
+        m1, m2 = masses[d], masses[p]
+        mtot = (m1 + m2)[:, None]
+        mu = (m1 * m2 / (m1 + m2))[:, None]
+        f1 = m1[:, None] / mtot
+        f2 = m2[:, None] / mtot
+        cm = vel[d] * f1 + vel[p] * f2
+        rel = vel[d] - vel[p]
+        c1c = jnp.exp(-data.friction * dt)
+        c1r = jnp.exp(-data.drude_friction * dt)
+        xi = jax.random.normal(k1p, (d.shape[0], 2, 3), vel.dtype)
+        cm = c1c * cm + jnp.sqrt(
+            BOLTZ * data.temperature / mtot * (1.0 - c1c * c1c)) * xi[:, 0]
+        rel = c1r * rel + jnp.sqrt(
+            BOLTZ * data.drude_temperature / mu * (1.0 - c1r * c1r)) * xi[:, 1]
+        vel = vel.at[d].set(cm + f2 * rel)
+        vel = vel.at[p].set(cm - f1 * rel)
+    return vel
+
+
 # --------------------------------------------------------- extra "forces"
 def langevin_extra_force(vel, masses, key, data: IntegratorData):
     """Partitioned Langevin drag+noise as an extra force
