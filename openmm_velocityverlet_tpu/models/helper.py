@@ -20,9 +20,17 @@ def add_clpol_coul_tt(built, donors, b=45.0, cutoff=1.2):
 
 def assign_image_charges(built, image_pairs):
     """Constant-voltage image charges: image charge = -parent charge
-    (run-edl.py:55-58 setParticleParameters)."""
+    (run-edl.py:55-58 setParticleParameters).
+
+    Image particles also become massless here: their positions are
+    overwritten by the mirror sync every step (updateImagePositions,
+    imageCharge.cu), so integrating them (as the reference does) only
+    accumulates unbounded velocities that pollute KE reporting and the
+    CM motion remover.  Massless particles are skipped by the integrator
+    and all DOF bookkeeping, exactly like virtual sites."""
     for parent, image in image_pairs:
         built.builder.charges[image] = -built.builder.charges[parent]
+        built.builder.masses[image] = 0.0
     return built
 
 

@@ -135,10 +135,13 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask):
     inv_r = jax.lax.rsqrt(r2s)
     inv_r2 = inv_r * inv_r
     r = r2s * inv_r
-    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    # separate LJ floor: keeps r^-12 finite in f32 so zero-LJ coincident
+    # particles (e.g. image charges at t=0) give 0 * finite, not 0 * inf
+    inv_r2_lj = 1.0 / jnp.maximum(r2, 1e-6)
+    inv_r6 = inv_r2_lj * inv_r2_lj * inv_r2_lj
     inv_r12 = inv_r6 * inv_r6
     e_lj = a * a * inv_r12 - b * inv_r6
-    f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
+    f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2_lj
     br = beta * r
     # erfc via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7), sharing its exp
     # with the Gaussian force term — one transcendental per pair instead of

@@ -95,10 +95,11 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         inv_r = jax.lax.rsqrt(r2s)
         inv_r2 = inv_r * inv_r
         r = r2s * inv_r
-        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        inv_r2_lj = 1.0 / jnp.maximum(r2, 1e-6)
+        inv_r6 = inv_r2_lj * inv_r2_lj * inv_r2_lj
         inv_r12 = inv_r6 * inv_r6
         e_lj = a * a * inv_r12 - b * inv_r6
-        f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
+        f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2_lj
         br = beta * r
         expm = jnp.exp(-br * br)
         t = 1.0 / (1.0 + 0.3275911 * br)
@@ -212,10 +213,11 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         inv_r = jax.lax.rsqrt(r2s)
         inv_r2 = inv_r * inv_r
         r = r2s * inv_r
-        inv_r6 = inv_r2 * inv_r2 * inv_r2
+        inv_r2_lj = 1.0 / jnp.maximum(r2, 1e-6)
+        inv_r6 = inv_r2_lj * inv_r2_lj * inv_r2_lj
         inv_r12 = inv_r6 * inv_r6
         e_lj = a * a * inv_r12 - b * inv_r6
-        f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
+        f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2_lj
         br = beta * r
         expm = jnp.exp(-br * br)
         t = 1.0 / (1.0 + 0.3275911 * br)
