@@ -10,7 +10,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from openmm_velocityverlet_tpu import BarostatConfig, Context, VVIntegrator
-from openmm_velocityverlet_tpu.app import (CheckpointReporter,
+from openmm_velocityverlet_tpu.app import (CheckpointReporter, DCDReporter,
                                            DrudeTemperatureReporter,
                                            GroReporter, Simulation,
                                            StateDataReporter,
@@ -105,6 +105,7 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=300, P=1,
     sim.reporters.append(CheckpointReporter("cpt.cpt", 10000))
     sim.reporters.append(GroReporter("dump.gro", 1000, logarithm=True,
                                      append=append))
+    sim.reporters.append(DCDReporter("dump.dcd", 10000, append=append))
     sim.reporters.append(StateDataReporter(sys.stdout, 1000, box=False,
                                            volume=True, append=append))
     if is_drude:

@@ -312,6 +312,95 @@ class GroReporter(_BaseReporter):
         self._flush()
 
 
+class DCDReporter:
+    """Binary CHARMM/X-PLOR DCD trajectory writer (the reference workloads
+    attach OpenMM's app.DCDReporter, run-bulk.py:90).  Standard DCD layout:
+    Fortran-style record markers, CORD header with unit-cell flag, per-frame
+    unit-cell block (a, gamma, b, beta, alpha, c convention) and X/Y/Z f32
+    coordinate records in Angstrom."""
+
+    def __init__(self, file, report_interval, append=False):
+        import struct
+        self._interval = int(report_interval)
+        self._path = file
+        self._n_frames = 0
+        self._n_atoms = None
+        self._append = append
+        self._fh = None
+        self._struct = struct
+
+    def describeNextReport(self, simulation):
+        return self._interval - simulation.current_step % self._interval
+
+    def interval(self, simulation):
+        return self.describeNextReport(simulation)
+
+    def _write_header(self, n_atoms, dt_ps, first_step):
+        s = self._struct
+        fh = self._fh
+        # 84-byte CORD block
+        fh.write(s.pack("<i4s", 84, b"CORD"))
+        icntrl = [0] * 20
+        icntrl[0] = 0                       # NSET, patched on close
+        icntrl[1] = first_step              # ISTART
+        icntrl[2] = self._interval          # NSAVC
+        icntrl[7] = 0                       # NDEGF
+        icntrl[9] = int(dt_ps / 4.888821e-2 * 1000) & 0x7FFFFFFF  # AKMA dt
+        icntrl[10] = 1                      # unit cell present
+        icntrl[19] = 24                     # CHARMM version
+        fh.write(s.pack("<9if10i", *icntrl[:9],
+                        dt_ps / 4.888821e-2 * 1000.0, *icntrl[10:]))
+        fh.write(s.pack("<i", 84))
+        title = b"Created by openmm_velocityverlet_tpu".ljust(80)
+        fh.write(s.pack("<ii", 84, 1) + title + s.pack("<i", 84))
+        fh.write(s.pack("<iii", 4, n_atoms, 4))
+
+    def report(self, simulation):
+        import numpy as _np
+        s = self._struct
+        ctx = simulation.context
+        pos = _np.asarray(ctx.get_positions(), _np.float32) * 10.0  # nm -> A
+        box = _np.asarray(ctx.get_box(), _np.float64) * 10.0
+        n = pos.shape[0]
+        if self._fh is None:
+            mode = "r+b" if self._append else "wb"
+            try:
+                self._fh = open(self._path, mode)
+            except FileNotFoundError:
+                self._fh = open(self._path, "wb")
+                mode = "wb"
+            if mode == "r+b":
+                self._fh.seek(0, 2)
+                self._n_atoms = n
+            else:
+                self._write_header(n, float(ctx.integrator.getStepSize()),
+                                   simulation.current_step)
+                self._n_atoms = n
+        # unit cell record: a, gamma(cos), b, beta(cos), alpha(cos), c
+        fh = self._fh
+        fh.write(s.pack("<i6di", 48, box[0], 0.0, box[1], 0.0, 0.0, box[2],
+                        48))
+        for axis in range(3):
+            data = _np.ascontiguousarray(pos[:, axis])
+            fh.write(s.pack("<i", 4 * n))
+            fh.write(data.tobytes())
+            fh.write(s.pack("<i", 4 * n))
+        self._n_frames += 1
+        # patch NSET in the header
+        here = fh.tell()
+        fh.seek(8)
+        fh.write(s.pack("<i", self._n_frames))
+        fh.seek(here)
+        fh.flush()
+
+    def __del__(self):
+        try:
+            if self._fh is not None:
+                self._fh.close()
+        except Exception:
+            pass
+
+
 class CheckpointReporter(_BaseReporter):
     """Step-suffixed checkpoints, keep last 3 (checkpointreporter.py:52-79)."""
 

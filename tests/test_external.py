@@ -94,3 +94,29 @@ def test_external_force_in_context():
     terms = ctx.potential_energy_terms()
     assert "external_0" in terms
     assert np.isfinite(terms["external_0"])
+
+
+def test_dcd_reporter_writes_valid_frames(tmp_path):
+    import struct
+    from openmm_velocityverlet_tpu.app import DCDReporter, Simulation
+    system, pos, box = make_lj_fluid(n_side=3)
+    integ = VVIntegrator(temperature=120.0, step_size=0.002)
+    ctx = Context(system, integ, positions=pos, box=box)
+    ctx.set_velocities_to_temperature(120.0)
+    sim = Simulation(None, ctx)
+    path = tmp_path / "traj.dcd"
+    sim.reporters.append(DCDReporter(str(path), 10))
+    sim.step(30)
+    raw = path.read_bytes()
+    # header magic
+    assert raw[4:8] == b"CORD"
+    nset = struct.unpack("<i", raw[8:12])[0]
+    assert nset == 3
+    n_atoms = system.n_atoms
+    # frame size: unit cell (56) + 3 * (8 + 4n)
+    frame = 56 + 3 * (8 + 4 * n_atoms)
+    header = 92 + 92 + 12
+    assert len(raw) == header + 3 * frame
+    # first frame cell a == box[0] in Angstrom
+    a = struct.unpack("<d", raw[header + 4:header + 12])[0]
+    np.testing.assert_allclose(a, box[0] * 10.0, rtol=1e-6)
