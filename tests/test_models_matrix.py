@@ -1,0 +1,78 @@
+"""Loader/energy regression over every bundled bulk model + vsite coverage."""
+import os
+
+import numpy as np
+import pytest
+
+MODELS = "/root/reference/examples/models"
+
+
+@pytest.mark.skipif(not os.path.isdir(MODELS), reason="reference data absent")
+@pytest.mark.parametrize("name", ["bulk_Im21", "bulk_Im81", "bulk_ImB1",
+                                  "bulk_ImO1"])
+def test_bulk_model_loads_and_evaluates(name):
+    from openmm_velocityverlet_tpu import Context, VVIntegrator
+    from openmm_velocityverlet_tpu.models.grofile import GroFile
+    from openmm_velocityverlet_tpu.models.prmfile import CharmmParameterSet
+    from openmm_velocityverlet_tpu.models.psffile import OplsPsfFile
+
+    d = os.path.join(MODELS, name)
+    gro = GroFile(os.path.join(d, "conf.gro"))
+    psf = OplsPsfFile(os.path.join(d, "topol.psf"),
+                      periodicBoxVectors=gro.getPeriodicBoxVectors())
+    prm = CharmmParameterSet(os.path.join(d, "ff.prm"))
+    built = psf.createSystem(prm, nonbondedCutoff=1.2, constraints="HBonds",
+                             rigidWater=True)
+    s = built.system
+    assert s.is_drude and s.thole_sites.shape[0] > 0
+    integ = VVIntegrator(333, 10, 1, 40, 0.001)
+    ctx = Context(s, integ, positions=gro.positions, box=gro.box)
+    terms = ctx.potential_energy_terms()
+    assert all(np.isfinite(v) for v in terms.values()), terms
+
+
+def test_local_coordinates_vsite_placement_and_force_transfer():
+    """LocalCoordinatesSite lone-pair parity (oplspsffile.py:964-992):
+    placement in the parent frame and J^T force redistribution."""
+    import jax.numpy as jnp
+
+    from openmm_velocityverlet_tpu import Context, SystemBuilder, VVIntegrator
+
+    b = SystemBuilder()
+    p1 = b.add_particle(16.0, charge=-0.4, lj_type=0)
+    p2 = b.add_particle(1.0, charge=0.3, lj_type=0)
+    p3 = b.add_particle(1.0, charge=0.3, lj_type=0)
+    lp = b.add_particle(0.0, charge=-0.2, lj_type=0)
+    b.add_bond(p1, p2, 0.1, 2e5)
+    b.add_bond(p1, p3, 0.1, 2e5)
+    b.add_angle(p2, p1, p3, 1.8, 500.0)
+    for i in (p1, p2, p3):
+        b.add_exclusion(i, lp)
+    b.add_exclusion(p1, p2)
+    b.add_exclusion(p1, p3)
+    b.add_exclusion(p2, p3)
+    # bisector-style lone pair 0.035 nm from p1 in the (p1,p2,p3) frame
+    b.add_vsite(lp, (p1, p2, p3), (1.0, 0.0, 0.0), (-1.0, 0.5, 0.5),
+                (-1.0, 1.0, 0.0), (0.035, 0.0, 0.0))
+    b.set_lj_from_type_params([0.3], [0.5])
+    box = np.array([3.0, 3.0, 3.0])
+    pos = np.array([[1.5, 1.5, 1.5], [1.58, 1.56, 1.5], [1.42, 1.56, 1.5],
+                    [0.0, 0.0, 0.0]])
+    system = b.finalize(box, r_cutoff=1.0, use_pme=True)
+    integ = VVIntegrator(300.0, 10.0, 1.0, 40.0, 0.001)
+    ctx = Context(system, integ, positions=pos, box=box)
+    placed = np.asarray(ctx.state.pos)
+    # site sits 0.035 nm from p1 along the bisector (away from H's)
+    d = placed[lp] - placed[p1]
+    np.testing.assert_allclose(np.linalg.norm(d), 0.035, rtol=1e-4)
+    assert d[1] > 0  # x-dir points to the H midpoint (x_w = -p1+0.5p2+0.5p3)
+    # forces on the massless site are redistributed: zero residual force
+    f = ctx.get_forces()
+    np.testing.assert_allclose(f[lp], 0.0, atol=1e-5)
+    # and dynamics stay finite with the site tracking its frame
+    ctx.set_velocities_to_temperature(300.0)
+    ctx.step(200)
+    p = ctx.get_positions()
+    assert np.all(np.isfinite(p))
+    np.testing.assert_allclose(
+        np.linalg.norm(p[lp] - p[p1]), 0.035, rtol=5e-3)
