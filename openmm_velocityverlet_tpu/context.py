@@ -112,7 +112,13 @@ class Context:
         self.set_velocities(vel)
 
     def get_positions(self):
-        return np.asarray(self.state.pos)
+        """Positions with virtual sites re-placed in their parent frames
+        (OpenMM computeVirtualSites semantics: the step only integrates
+        massive particles; sites are a function of their parents)."""
+        if self.system.vsite_index.shape[0] == 0:
+            return np.asarray(self.state.pos)
+        fn = self._get_compiled("place_vsites")
+        return np.asarray(fn(self.state.pos))
 
     def get_velocities(self):
         return np.asarray(self.state.vel)
@@ -173,7 +179,9 @@ class Context:
     def _get_compiled(self, name):
         if name in self._compiled:
             return self._compiled[name]
-        if name == "energy":
+        if name == "place_vsites":
+            fn = jax.jit(self.evaluator.place_vsites)
+        elif name == "energy":
             def energy(state):
                 terms, _ = self.evaluator.energy_forces(state.pos, state.box)
                 return terms
