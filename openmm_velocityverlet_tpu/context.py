@@ -242,7 +242,7 @@ class Context:
             vel, eta, eta_dot, eta_dotdot, _ = stepping.nh_scale_velocities(
                 vel, masses, inv_m, sysm.particle_mol_id, sysm.mol_masses,
                 sysm.mol_inv_masses, data, st.nh_eta, st.nh_eta_dot,
-                st.nh_eta_dotdot)
+                st.nh_eta_dotdot, mol_table=sysm.mol_table)
             if has_cos:
                 vel = stepping.cos_shift_velocity(pos, vel, box, cos_v, 1.0)
             st = st.replace(nh_eta=eta, nh_eta_dot=eta_dot,
@@ -269,7 +269,8 @@ class Context:
 
                     acc, pos, box, bst = baro_mod.attempt_move(
                         baro_cfg, bst, st.pos, st.box, sysm.particle_mol_id,
-                        sysm.mol_masses, sysm.mol_inv_masses, masses, efn)
+                        sysm.mol_masses, sysm.mol_inv_masses, masses, efn,
+                        mol_table=sysm.mol_table)
                     st = st.replace(pos=pos, box=box,
                                     pos_err=jnp.where(acc, 0.0, st.pos_err))
                     return st, bst, acc

@@ -71,7 +71,8 @@ def _axis_weights(kind, key):
 
 
 def attempt_move(cfg: BarostatConfig, bstate: BarostatState, pos, box,
-                 mol_id, mol_masses, mol_inv_masses, masses, energy_fn):
+                 mol_id, mol_masses, mol_inv_masses, masses, energy_fn,
+                 mol_table=None):
     """One MC volume attempt.  energy_fn(pos, box) -> scalar potential.
     Returns (accepted, pos', box', bstate')."""
     key = bstate.key
@@ -87,9 +88,16 @@ def attempt_move(cfg: BarostatConfig, bstate: BarostatState, pos, box,
 
     # molecular COM scaling (keeps intramolecular geometry rigid)
     n_mol = mol_masses.shape[0]
-    com = (jax.ops.segment_sum(masses[:, None] * pos, mol_id,
-                               num_segments=n_mol)
-           * mol_inv_masses[:, None])
+    if mol_table is not None:
+        import numpy as _np
+        idx = _np.maximum(_np.asarray(mol_table), 0)
+        valid = (_np.asarray(mol_table) >= 0)
+        mv = (_np.asarray(masses)[idx] * valid)[..., None] * pos[idx]
+        com = jnp.sum(mv, axis=1) * mol_inv_masses[:, None]
+    else:
+        com = (jax.ops.segment_sum(masses[:, None] * pos, mol_id,
+                                   num_segments=n_mol)
+               * mol_inv_masses[:, None])
     shift = com * (axis_scale[None, :] - 1.0)
     new_pos = pos + shift[mol_id]
     new_box = box * axis_scale

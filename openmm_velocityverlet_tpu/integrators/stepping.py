@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..units import AVOGADRO, BOLTZ, PI
 from ..utils.pbc import minimum_image
@@ -23,9 +24,16 @@ def kinetic_energy(vel, masses):
     return 0.5 * jnp.sum(masses[:, None] * vel * vel)
 
 
-def com_velocities(vel, masses, mol_id, mol_inv_masses):
+def com_velocities(vel, masses, mol_id, mol_inv_masses, mol_table=None):
     """Per-molecule mass-weighted COM velocity (calcCOMVelocities,
-    drudeNoseHoover.cu:5-31) as a segment-sum."""
+    drudeNoseHoover.cu:5-31).  With a dense member table this is a
+    constant-index gather + sum (scatter-free); segment_sum is the
+    fallback for callers without one."""
+    if mol_table is not None:
+        idx = np.maximum(np.asarray(mol_table), 0)
+        valid = (np.asarray(mol_table) >= 0)
+        mv = (np.asarray(masses)[idx] * valid)[..., None] * vel[idx]
+        return jnp.sum(mv, axis=1) * mol_inv_masses[:, None]
     mom = jax.ops.segment_sum(masses[:, None] * vel, mol_id,
                               num_segments=mol_inv_masses.shape[0])
     return mom * mol_inv_masses[:, None]
@@ -34,14 +42,15 @@ def com_velocities(vel, masses, mol_id, mol_inv_masses):
 # ------------------------------------------------------------- NH scaling
 def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
                         mol_inv_masses, data: IntegratorData, nh_eta,
-                        nh_eta_dot, nh_eta_dotdot):
+                        nh_eta_dot, nh_eta_dotdot, mol_table=None):
     """One TGNH thermostat application (scaleVelocity host orchestration,
     CudaVVKernels.cpp:670-754 + drudeNoseHoover.cu kernels), fully on device.
 
     Returns (vel', eta', eta_dot', eta_dotdot', ke2 per group).
     """
     if data.use_com_temp_group:
-        com = com_velocities(vel, masses, mol_id, mol_inv_masses)  # (M,3)
+        com = com_velocities(vel, masses, mol_id, mol_inv_masses,
+                             mol_table)  # (M,3)
         vel_rel = jnp.where(data.nh_mask[:, None], vel - com[mol_id], vel)
     else:
         com = jnp.zeros((mol_masses.shape[0], 3), vel.dtype)

@@ -274,6 +274,16 @@ class SystemBuilder:
         consx = np.asarray([(c[0], c[1]) for c in self.constraints],
                            np.int32).reshape(-1, 2)
 
+        # dense molecule-member table for scatter-free COM reductions
+        n_mol_total = int(mol_id.max()) + 1 if n else 0
+        counts = np.bincount(mol_id, minlength=n_mol_total)
+        mmax = int(counts.max()) if n_mol_total else 1
+        mol_table = np.full((n_mol_total, max(mmax, 1)), -1, np.int32)
+        fill = np.zeros(n_mol_total, np.int32)
+        for i, m in enumerate(mol_id):
+            mol_table[m, fill[m]] = i
+            fill[m] += 1
+
         box = np.asarray(box, np.float64)
         if self.use_pme:
             beta, kmax = ewald_parameters(self.r_cutoff,
@@ -339,6 +349,7 @@ class SystemBuilder:
             tt_cutoff=np.float32(self.tt_cutoff),
             particle_mol_id=np.asarray(mol_id, np.int32),
             mol_masses=farr(mol_mass), mol_inv_masses=farr(mol_inv_mass),
+            mol_table=mol_table,
             r_cutoff=self.r_cutoff, ewald_beta=float(beta), kmax=tuple(kmax),
             use_dispersion_correction=self.use_dispersion_correction,
             has_cm_motion_remover=self.remove_cm_motion,

@@ -20,21 +20,34 @@ class GroFile:
             self.residue_ids = np.zeros(n, np.int32)
             self.residue_names = []
             self.atom_names = []
+            lines = f.read().splitlines()
+        for i in range(n):
+            line = lines[i]
+            self.residue_ids[i] = int(line[0:5])
+            self.residue_names.append(line[5:10].strip())
+            self.atom_names.append(line[10:15].strip())
+        # numeric block: native C parser (ctypes) with a Python fallback
+        from .. import native
+        parsed = native.parse_gro_block(
+            ("\n".join(lines[:n]) + "\n").encode(), n)
+        if parsed is not None:
+            pos, vel_or_none = parsed
+            vel = vel_or_none if vel_or_none is not None \
+                else np.zeros((n, 3), np.float64)
+            has_vel = vel_or_none is not None
+        else:
             pos = np.zeros((n, 3), np.float64)
             vel = np.zeros((n, 3), np.float64)
             has_vel = False
             for i in range(n):
-                line = f.readline()
-                self.residue_ids[i] = int(line[0:5])
-                self.residue_names.append(line[5:10].strip())
-                self.atom_names.append(line[10:15].strip())
+                line = lines[i]
                 pos[i] = (float(line[20:28]), float(line[28:36]),
                           float(line[36:44]))
                 if len(line.rstrip()) >= 68:
                     vel[i] = (float(line[44:52]), float(line[52:60]),
                               float(line[60:68]))
                     has_vel = True
-            box_fields = [float(x) for x in f.readline().split()]
+        box_fields = [float(x) for x in lines[n].split()]
         self.positions = pos
         self.velocities = vel if has_vel else None
         # orthorhombic diagonal; off-diagonal terms unsupported (all bundled

@@ -115,6 +115,9 @@ class System:
     particle_mol_id: jnp.ndarray # (N,) i32
     mol_masses: jnp.ndarray      # (M,)
     mol_inv_masses: jnp.ndarray  # (M,)
+    # dense member table (M, Mmax) padded -1: COM reductions become a small
+    # constant-index gather + dense sum instead of a segment_sum scatter
+    mol_table: jnp.ndarray       # (M, Mmax) i32
 
     # ---- nonbonded method parameters ----
     r_cutoff: float = struct.field(pytree_node=False, default=1.2)
