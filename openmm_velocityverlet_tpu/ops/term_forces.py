@@ -212,16 +212,39 @@ def build_term_tables(system):
                 if a >= 0:
                     entries[a].append(offset + t * p + sl)
         offset += nt * p
-    kmax = max((len(e) for e in entries), default=1)
+    # two-level incidence: a narrow primary table sized for the typical
+    # atom plus an overflow table for the few high-valence atoms (ring
+    # carbons) — the padded gather shrinks ~1.7x vs one max-width table.
+    counts = np.array([len(e) for e in entries], np.int32)
+    kmax = int(counts.max()) if n else 1
     kmax = max(kmax, 1)
-    incidence = np.full((n, kmax), -1, np.int32)
+    k1 = min(kmax, max(8, int(np.percentile(counts, 75)) if n else 8))
+    incidence = np.full((n, k1), -1, np.int32)
+    over_rows = []
+    over_atoms = []
     for i, e in enumerate(entries):
-        incidence[i, :len(e)] = e
-    return terms, incidence, offset
+        incidence[i, :min(len(e), k1)] = e[:k1]
+        if len(e) > k1:
+            over_atoms.append(i)
+            over_rows.append(e[k1:])
+    if over_rows:
+        k2 = max(len(r) for r in over_rows)
+        overflow = np.full((len(over_rows), k2), -1, np.int32)
+        for r, e in enumerate(over_rows):
+            overflow[r, :len(e)] = e
+        over_atoms = np.asarray(over_atoms, np.int32)
+    else:
+        overflow = np.zeros((0, 1), np.int32)
+        over_atoms = np.zeros((0,), np.int32)
+    return terms, (incidence, over_atoms, overflow), offset
 
 
 def energies_and_forces(pos, box, terms, incidence, total_slots):
-    """Returns (dict of per-type energy sums, (N,3) forces)."""
+    """Returns (dict of per-type energy sums, (N,3) forces).
+
+    ``incidence`` = (primary (N,K1), overflow_atoms (H,), overflow (H,K2)).
+    """
+    incidence, over_atoms, overflow = incidence
     energies = {}
     contribs = []
     for name, idx, prm, split in terms:
@@ -251,7 +274,11 @@ def energies_and_forces(pos, box, terms, incidence, total_slots):
     if not contribs:
         return energies, jnp.zeros_like(pos)
     flat = jnp.concatenate(contribs, axis=0)                # (TOT,3)
-    gath = flat[np.maximum(incidence, 0)]                   # (N,K,3)
+    gath = flat[np.maximum(incidence, 0)]                   # (N,K1,3)
     gath = jnp.where((incidence >= 0)[..., None], gath, 0.0)
     forces = -jnp.sum(gath, axis=1)
+    if overflow.shape[0]:
+        g2 = flat[np.maximum(overflow, 0)]                  # (H,K2,3)
+        g2 = jnp.where((overflow >= 0)[..., None], g2, 0.0)
+        forces = forces.at[over_atoms].add(-jnp.sum(g2, axis=1))
     return energies, forces
