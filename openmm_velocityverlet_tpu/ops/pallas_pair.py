@@ -141,27 +141,47 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
 def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                      grows_ref, posT_ref, qT_ref, onehotT_ref, bitsT_ref,
                      gonehotT_ref, box_ref, rows_ref, colacc_ref, *, n, ts,
-                     beta, r_cutoff, t_dim, use_groups):
+                     beta, r_cutoff, t_dim, use_groups, mode):
     """Upper-triangle tile sweep: Newton's third law halves the pair work.
 
     TPU grid execution is sequential, so output blocks revisited across the
-    inner (column) grid axis accumulate in VMEM, and the full-length column
+    inner grid axis accumulate in VMEM, and the full-length column
     accumulator (constant index map) collects -f across all programs.
+
+    Two specializations avoid paying exclusion/correction math everywhere:
+    mode="band"  grid (n_tiles, 2), j = i + pid(1): diagonal + first
+                 off-diagonal tiles with the exclusion bitmask and the
+                 -qq erf(beta r)/r correction (exclusions only reach
+                 |delta| <= 31 < ts);
+    mode="far"   grid (n_tiles, n_tiles), tiles with j >= i + 2: lean pair
+                 math only — no integer ops, no correction path.
     """
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    band = mode == "band"
+    if band:
+        j = i + pl.program_id(1)
+        n_tiles = pl.num_programs(0)
+        active = j < n_tiles
+        first = pl.program_id(1) == 0
+    else:
+        j = pl.program_id(1)
+        active = j >= i + 2
+        first = j == 0
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    @pl.when(jnp.logical_and(i == 0, pl.program_id(1) == 0))
     def _init_colacc():
         colacc_ref[:, :] = jnp.zeros_like(colacc_ref)
 
-    @pl.when(j >= i)
+    @pl.when(first)
+    def _init_rows():
+        rows_ref[:, :] = jnp.zeros_like(rows_ref)
+
+    @pl.when(active)
     def _compute():
         row0 = i * ts
         col0 = j * ts
         row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)
         col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
-        bits_rows = bits_rows_ref[:, :]
         a_rows = ab_rows_ref[:, :t_dim]
         b_rows = ab_rows_ref[:, t_dim:]
         px = pos_rows_ref[:, 0:1]
@@ -177,7 +197,6 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         cy = cpos[1:2, :]
         cz = cpos[2:3, :]
         qcol = qT_ref[:, pl.ds(col0, ts)]
-        bits_col = bitsT_ref[:, pl.ds(col0, ts)]
 
         dx = px - cx
         dx = dx - bx * jnp.round(dx * (1.0 / bx))
@@ -187,14 +206,18 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         dz = dz - bz * jnp.round(dz * (1.0 / bz))
         r2 = dx * dx + dy * dy + dz * dz
 
-        delta = col_ids - row_ids
-        dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
-        dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
-        excl = (((bits_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
-               (delta <= MAX_EXCL_OFFSET)
-        excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
-                (delta >= -MAX_EXCL_OFFSET)
-        alive = (delta != 0) & (row_ids < n) & (col_ids < n)
+        alive = (row_ids < n) & (col_ids < n)
+        if band:
+            delta = col_ids - row_ids
+            bits_rows = bits_rows_ref[:, :]
+            bits_col = bitsT_ref[:, pl.ds(col0, ts)]
+            dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
+            dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
+            excl = (((bits_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
+                   (delta <= MAX_EXCL_OFFSET)
+            excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
+                    (delta >= -MAX_EXCL_OFFSET)
+            alive = alive & (delta != 0)
 
         onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
         a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
@@ -207,8 +230,6 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             b = b * allowed
         qq = ONE_4PI_EPS0 * qrow * qcol
 
-        in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
-        corr = alive & excl
         r2s = jnp.maximum(r2, 1e-10)
         inv_r = jax.lax.rsqrt(r2s)
         inv_r2 = inv_r * inv_r
@@ -226,14 +247,23 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         gauss = (2.0 * beta / _SQRT_PI) * expm
         e_c = qq * erfc_br * inv_r
         f_c = qq * (erfc_br * inv_r + gauss) * inv_r2
-        erf_inv_r = (1.0 - erfc_br) * inv_r
-        e_x = -qq * erf_inv_r
-        f_x = -qq * (erf_inv_r - gauss) * inv_r2
         zero = jnp.zeros_like(r2)
-        f_s = jnp.where(in_range, f_lj + f_c, zero) + \
-            jnp.where(corr, f_x, zero)
+        if band:
+            in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
+            corr = alive & excl
+            erf_inv_r = (1.0 - erfc_br) * inv_r
+            e_x = -qq * erf_inv_r
+            f_x = -qq * (erf_inv_r - gauss) * inv_r2
+            f_s = jnp.where(in_range, f_lj + f_c, zero) + \
+                jnp.where(corr, f_x, zero)
+            ecorr = jnp.sum(jnp.where(corr, e_x, zero), axis=1, keepdims=True)
+        else:
+            in_range = alive & (r2 < r_cutoff * r_cutoff)
+            f_s = jnp.where(in_range, f_lj + f_c, zero)
+            ecorr = jnp.zeros((ts, 1), jnp.float32)
 
-        half = jnp.where(i == j, 0.5, 1.0)
+        half = jnp.where(jnp.logical_and(band, i == j), 0.5, 1.0) \
+            if band else 1.0
         fx = jnp.sum(f_s * dx, axis=1, keepdims=True)
         fy = jnp.sum(f_s * dy, axis=1, keepdims=True)
         fz = jnp.sum(f_s * dz, axis=1, keepdims=True)
@@ -241,19 +271,14 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                              keepdims=True)
         ecoul = half * jnp.sum(jnp.where(in_range, e_c, zero), axis=1,
                                keepdims=True)
-        ecorr = half * jnp.sum(jnp.where(corr, e_x, zero), axis=1,
-                               keepdims=True)
+        ecorr = half * ecorr
         block = jnp.concatenate(
             [fx, fy, fz, elj, ecoul, ecorr,
              jnp.zeros((ts, 2), jnp.float32)], axis=1)
+        rows_ref[:, :] = rows_ref[:, :] + block
 
-        @pl.when(j == i)
-        def _set():
-            rows_ref[:, :] = block
-
-        @pl.when(j > i)
-        def _acc():
-            rows_ref[:, :] = rows_ref[:, :] + block
+        @pl.when(jnp.logical_not(jnp.logical_and(band, i == j)))
+        def _acc_cols():
             # column-side reaction forces (Newton's third law)
             gx = -jnp.sum(f_s * dx, axis=0, keepdims=True)       # (1,ts)
             gy = -jnp.sum(f_s * dy, axis=0, keepdims=True)
@@ -264,21 +289,17 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             colacc_ref[:, pl.ds(col0, ts)] = cur + upd
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("beta", "r_cutoff", "ts", "n_real",
-                                    "interpret"))
-def _run_tri(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT,
-             gonehotT, box, beta, r_cutoff, ts, n_real, interpret=False):
+def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT,
+              bitsT, gonehotT, box, beta, r_cutoff, ts, n_real, interpret):
     n_pad = posT.shape[1]
     t2 = ab.shape[1]
     use_groups = gonehotT.shape[0] > 1
-    n_tiles = n_pad // ts
     kernel = functools.partial(
         _pair_tri_kernel, n=n_real, ts=ts, beta=beta, r_cutoff=r_cutoff,
-        t_dim=t2 // 2, use_groups=use_groups)
-    rows, colacc = pl.pallas_call(
+        t_dim=t2 // 2, use_groups=use_groups, mode=mode)
+    return pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_tiles),
+        grid=grid,
         in_specs=[
             pl.BlockSpec((ts, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -309,7 +330,23 @@ def _run_tri(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT,
         ),
         interpret=interpret,
     )(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT, box)
-    return rows, colacc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beta", "r_cutoff", "ts", "n_real",
+                                    "interpret"))
+def _run_tri(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT,
+             gonehotT, box, beta, r_cutoff, ts, n_real, interpret=False):
+    n_pad = posT.shape[1]
+    n_tiles = n_pad // ts
+    args = (pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT,
+            gonehotT, box, beta, r_cutoff, ts, n_real, interpret)
+    rows_b, col_b = _tri_call("band", (n_tiles, min(2, n_tiles)), *args)
+    if n_tiles > 2:
+        rows_f, col_f = _tri_call("far", (n_tiles, n_tiles), *args)
+        rows_b = rows_b + rows_f
+        col_b = col_b + col_f
+    return rows_b, col_b
 
 
 @functools.partial(jax.jit,
