@@ -87,7 +87,9 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
         np.allclose(np.outer(sb, sb) + np.where(fixed, dB, 0.0), bcoef,
                     rtol=2e-6, atol=1e-30)
 
-    excl_bits = np.zeros(n_atoms, np.int32)
+    # built as uint32 (bit 31 is a valid offset bit), viewed as int32 for
+    # the kernels — the >> k & 1 test is shift-sign agnostic
+    excl_bits = np.zeros(n_atoms, np.uint32)
     residual = []
     exclusions = np.asarray(exclusions)
     for i in range(n_atoms):
@@ -96,9 +98,10 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
                 continue
             d = int(j) - i
             if d <= MAX_EXCL_OFFSET:
-                excl_bits[i] |= (1 << d)
+                excl_bits[i] |= np.uint32(1 << d)
             else:
                 residual.append((i, int(j)))
+    excl_bits = excl_bits.view(np.int32)
     residual = (np.asarray(residual, np.int32).reshape(-1, 2)
                 if residual else np.zeros((0, 2), np.int32))
 

@@ -12,6 +12,7 @@ from openmm_velocityverlet_tpu.ops import allpairs, pallas_pair
 
 
 def _random_tables(n, T, rng, bandwidth=8):
+    """bandwidth > 31 exercises the residual excluded-pair adjustment."""
     lj_type = rng.integers(0, T, n)
     sig = rng.uniform(0.25, 0.4, T)
     eps = rng.uniform(0.1, 1.0, T)
@@ -28,14 +29,14 @@ def _random_tables(n, T, rng, bandwidth=8):
     return lj_type, a, b, excl
 
 
-@pytest.mark.parametrize("use_groups,symmetric", [(False, False),
-                                                  (True, False),
-                                                  (False, True),
-                                                  (True, True)])
-def test_pallas_matches_dense(use_groups, symmetric):
+@pytest.mark.parametrize("use_groups,symmetric,bandwidth",
+                         [(False, False, 8), (True, False, 8),
+                          (False, True, 8), (True, True, 8),
+                          (False, True, 60)])
+def test_pallas_matches_dense(use_groups, symmetric, bandwidth):
     rng = np.random.default_rng(0)
     n, T = 700, 5
-    lj_type, a, b, excl = _random_tables(n, T, rng)
+    lj_type, a, b, excl = _random_tables(n, T, rng, bandwidth=bandwidth)
     lj_group = rng.integers(0, 2, n) if use_groups else None
     allowed = np.array([[True, True], [True, False]]) if use_groups else None
     tables = allpairs.build_pair_tables(n, lj_type, a, b, excl,
