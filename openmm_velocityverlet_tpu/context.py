@@ -55,9 +55,10 @@ class Context:
         self.system = system
         self.integrator = integrator
         self.data: IntegratorData = integrator.build_data(system)
-        self.evaluator = ForceEvaluator(system, external_forces,
-                                        ewald_chunk=ewald_chunk,
-                                        row_block=row_block)
+        self.evaluator = ForceEvaluator(
+            system, external_forces, ewald_chunk=ewald_chunk,
+            row_block=row_block,
+            analytic_drude_spring=self.data.analytic_drude_spring)
         self.barostat_cfg = barostat
         if box is None:
             raise ValueError("box is required")
@@ -304,7 +305,12 @@ class Context:
             if has_cons:
                 vel = cons_mod.apply_velocity_constraints(pos, vel, box, cons,
                                                           inv_m)
-            half1 = 0.5 * dt * vel
+            if data.analytic_drude_spring:
+                pos_h, vel = stepping.harmonic_pair_drift(pos, vel, data,
+                                                          0.5 * dt)
+                half1 = pos_h - pos
+            else:
+                half1 = 0.5 * dt * vel
             if has_nh:
                 vel, st = thermostat(pos, vel, box, st)
             if has_ld:
@@ -312,7 +318,12 @@ class Context:
                 if has_cons:
                     vel = cons_mod.apply_velocity_constraints(
                         pos, vel, box, cons, inv_m)
-            delta = half1 + 0.5 * dt * vel
+            if data.analytic_drude_spring:
+                pos_h2, vel = stepping.harmonic_pair_drift(pos + half1, vel,
+                                                           data, 0.5 * dt)
+                delta = pos_h2 - pos
+            else:
+                delta = half1 + 0.5 * dt * vel
             new_pos, new_err = stepping.compensated_add(pos, err, delta)
             if has_cons:
                 con_pos = cons_mod.apply_position_constraints(

@@ -19,6 +19,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ops import allpairs, bonded, drude, ewald, nonbonded, pallas_pair, term_forces, vsites
 from .system import System
@@ -36,7 +37,7 @@ class ForceEvaluator:
     def __init__(self, system: System,
                  external_forces: Sequence[Callable] = (),
                  ewald_chunk: int = 16384, row_block: int = 1024,
-                 pair_kernel: str = "auto"):
+                 pair_kernel: str = "auto", analytic_drude_spring=False):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
@@ -50,7 +51,9 @@ class ForceEvaluator:
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed)
         # per-term vmapped-autodiff tables (scatter-free bonded/Drude/Thole)
-        self.term_tables = term_forces.build_term_tables(system)
+        self.analytic_drude_spring = bool(analytic_drude_spring)
+        self.term_tables = term_forces.build_term_tables(
+            system, zero_iso_drude=self.analytic_drude_spring)
 
     # -- virtual sites ----------------------------------------------------
     def place_vsites(self, pos):
@@ -99,6 +102,16 @@ class ForceEvaluator:
         t_terms, t_idx, t_slots = self.term_tables
         term_energies, f_terms = term_forces.energies_and_forces(
             pos, box, t_terms, t_idx, t_slots)
+        if self.analytic_drude_spring:
+            # the isotropic spring is integrated analytically in the drift;
+            # report its energy without contributing a force
+            e_iso = jax.lax.stop_gradient(drude.drude_spring_energy(
+                pos, box, s.drude_pairs, s.drude_k3,
+                np.zeros_like(np.asarray(s.drude_k1)),
+                np.zeros_like(np.asarray(s.drude_k2)), s.drude_aniso))
+            term_energies = dict(term_energies)
+            term_energies["drude"] = term_energies.get(
+                "drude", jnp.zeros((), pos.dtype)) + e_iso
 
         terms = dict(terms)
         for name in ("bond", "angle", "urey_bradley", "dihedral", "improper",

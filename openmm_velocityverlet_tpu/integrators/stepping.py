@@ -108,6 +108,42 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
     return new_vel, eta, eta_dot, eta_dotdot, ke2
 
 
+def harmonic_pair_drift(pos, vel, data: IntegratorData, dt):
+    """Drift with the isotropic Drude spring integrated exactly.
+
+    Non-pair atoms drift linearly.  For each Drude pair the COM drifts
+    linearly while the relative coordinate rotates in (rel, vrel/omega)
+    phase space — the exact solution of the k3 spring.  The anisotropy
+    residual (k1, k2) stays in the force kicks (it is a small correction);
+    the spring *energy* is still reported in full.  Returns (pos', vel')
+    — the spring exchanges rel position and velocity, so velocities of
+    pair atoms change during the drift.
+    """
+    new_pos = pos + dt * vel
+    dp = data.drude_pairs
+    if dp.shape[0] == 0 or not data.analytic_drude_spring:
+        return new_pos, vel
+    d, p = dp[:, 0], dp[:, 1]
+    f1 = data.pair_f1[:, None]
+    f2 = data.pair_f2[:, None]
+    w = data.pair_omega[:, None]
+    com = f1 * pos[d] + f2 * pos[p]
+    vcom = f1 * vel[d] + f2 * vel[p]
+    rel = pos[d] - pos[p]
+    vrel = vel[d] - vel[p]
+    c = jnp.cos(w * dt)
+    s = jnp.sin(w * dt)
+    inv_w = jnp.where(w > 0, 1.0 / jnp.maximum(w, 1e-12), dt)
+    rel2 = jnp.where(w > 0, c * rel + s * inv_w * vrel, rel + dt * vrel)
+    vrel2 = jnp.where(w > 0, -w * s * rel + c * vrel, vrel)
+    com2 = com + dt * vcom
+    new_pos = new_pos.at[d].set(com2 + f2 * rel2)
+    new_pos = new_pos.at[p].set(com2 - f1 * rel2)
+    vel = vel.at[d].set(vcom + f2 * vrel2)
+    vel = vel.at[p].set(vcom - f1 * vrel2)
+    return new_pos, vel
+
+
 def langevin_ou_update(vel, masses, key, data: IntegratorData):
     """Exact Ornstein-Uhlenbeck velocity update for the Langevin-thermostated
     particles — the middle-scheme analog of OpenMM's DrudeLangevinIntegrator.

@@ -61,6 +61,11 @@ class IntegratorData:
     electric_field: float = struct.field(pytree_node=False)  # kJ/(nm e)
     mirror_location: float = struct.field(pytree_node=False)
     num_temp_groups: int = struct.field(pytree_node=False)
+    # analytic (exact) integration of the isotropic Drude spring during the
+    # drift phases: removes the omega*dt ~ 1 numerical resonance that pumps
+    # the Drude relative DOF at 1 fs (CLPol springs), letting weak-coupling
+    # Langevin hold T_drude.  Middle scheme only.
+    analytic_drude_spring: bool = struct.field(pytree_node=False)
 
     # NH partition tables
     nh_mask: jnp.ndarray          # (N,) bool
@@ -77,6 +82,10 @@ class IntegratorData:
     image_pairs: jnp.ndarray      # (I,2) i32 (image, parent)
     electrolyte: jnp.ndarray      # (Ne,) i32
     drude_pairs: jnp.ndarray      # (D,2) i32 — hardwall domain
+    # per-pair analytic-spring tables (omega = sqrt(k3/mu), mass fractions)
+    pair_omega: jnp.ndarray       # (D,)
+    pair_f1: jnp.ndarray          # (D,) m_d/(m_d+m_p)
+    pair_f2: jnp.ndarray          # (D,) m_p/(m_d+m_p)
 
 
 class VVIntegrator:
@@ -106,6 +115,7 @@ class VVIntegrator:
         self.cos_acceleration = 0.0        # nm/ps^2
         self.use_com_temp_group = False
         self.use_middle_scheme = True
+        self.analytic_drude_spring = False
         self.debug_enabled = False
         self._auto_com_temp_group = True
         self._auto_friction = True
@@ -183,6 +193,14 @@ class VVIntegrator:
     def getUseCOMTempGroup(self): return self.use_com_temp_group
     def setUseMiddleScheme(self, b): self.use_middle_scheme = bool(b)
     def getUseMiddleScheme(self): return self.use_middle_scheme
+
+    def setAnalyticDrudeSpring(self, b):
+        """Integrate the isotropic Drude spring exactly during drifts
+        (middle scheme).  Removes the stiff-spring resonance at dt = 1 fs;
+        required for the weak-coupling Drude Langevin bath at that step."""
+        self.analytic_drude_spring = bool(b)
+
+    def getAnalyticDrudeSpring(self): return self.analytic_drude_spring
     def setDebugEnabled(self, b): self.debug_enabled = bool(b)
     def getDebugEnabled(self): return self.debug_enabled
 
@@ -293,8 +311,26 @@ class VVIntegrator:
                 a = a.reshape(-1, shape2)
             return a
 
+        masses_np = np.asarray(system.masses, np.float64)
+        k3_np = np.asarray(system.drude_k3, np.float64).reshape(-1)
+        if drude_pairs.shape[0]:
+            m_d = masses_np[drude_pairs[:, 0]]
+            m_p = masses_np[drude_pairs[:, 1]]
+            mtot = m_d + m_p
+            mu = m_d * m_p / mtot
+            pair_omega = np.sqrt(np.maximum(k3_np, 0.0) / np.maximum(mu, 1e-12))
+            pair_f1 = m_d / mtot
+            pair_f2 = m_p / mtot
+        else:
+            pair_omega = np.zeros((0,), np.float64)
+            pair_f1 = np.zeros((0,), np.float64)
+            pair_f2 = np.zeros((0,), np.float64)
+
         return IntegratorData(
             dt=self.step_size,
+            analytic_drude_spring=bool(self.analytic_drude_spring
+                                       and self.use_middle_scheme
+                                       and drude_pairs.shape[0] > 0),
             temperature=self.temperature, frequency=self.frequency,
             drude_temperature=self.drude_temperature,
             drude_frequency=self.drude_frequency,
@@ -320,4 +356,7 @@ class VVIntegrator:
                          else np.zeros((0, 2), np.int32)),
             electrolyte=arr(self.particles_electrolyte),
             drude_pairs=drude_pairs.astype(np.int32),
+            pair_omega=pair_omega.astype(np.float32),
+            pair_f1=pair_f1.astype(np.float32),
+            pair_f2=pair_f2.astype(np.float32),
         )

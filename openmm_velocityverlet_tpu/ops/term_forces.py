@@ -128,7 +128,7 @@ _TERM_FNS = {
 }
 
 
-def build_term_tables(system):
+def build_term_tables(system, zero_iso_drude=False):
     """Host-side: per-term index/param arrays + the combined incidence table.
 
     Returns (terms, incidence) where terms is a list of
@@ -180,7 +180,9 @@ def build_term_tables(system):
         da_safe = np.where(da >= 0, da, dp[:, 1:2])
         idx = np.concatenate([dp, da_safe[:, 1:2], da_safe[:, 2:3],
                               da_safe[:, 3:4]], axis=1)  # (D,5): d,p,p2,p3,p4
-        prm = np.stack([s.drude_k3, s.drude_k1, s.drude_k2, has],
+        k3 = (np.zeros_like(np.asarray(s.drude_k3)) if zero_iso_drude
+              else np.asarray(s.drude_k3))
+        prm = np.stack([k3, s.drude_k1, s.drude_k2, has],
                        -1).astype(np.float32)
         terms.append(("drude", idx, prm, None))
     exc_idx = np.asarray(s.exc_idx)
