@@ -83,7 +83,7 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
     ims = np.asarray(inv_masses, np.float32)
     inv_mass_sum = ims[pairs[:, 0]] + ims[pairs[:, 1]] if c else np.zeros((0,), np.float32)
     # ---- cluster decomposition (union-find over shared atoms) ----
-    K = 4
+    K_CAP = 4
     parent = list(range(c))
 
     def find(x):
@@ -103,7 +103,10 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
     clusters = {}
     for ci in range(c):
         clusters.setdefault(find(ci), []).append(ci)
-    use_clusters = c > 0 and all(len(v) <= K for v in clusters.values())
+    use_clusters = c > 0 and all(len(v) <= K_CAP for v in clusters.values())
+    # pad to the actual largest cluster (3 for CH stars / water triangles)
+    K = max((len(v) for v in clusters.values()), default=1) if use_clusters \
+        else K_CAP
     if use_clusters and c > 0:
         ncl = len(clusters)
         cl_cons = np.full((ncl, K), -1, np.int32)
