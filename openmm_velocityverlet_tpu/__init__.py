@@ -13,5 +13,9 @@ from .forces import ForceEvaluator
 from .integrators.vv import VVIntegrator
 from .integrators.barostat import BarostatConfig
 from .models.builder import SystemBuilder
+from . import app
 
 __version__ = "0.1.0"
+
+__all__ = ["System", "State", "make_state", "Context", "ForceEvaluator",
+           "VVIntegrator", "BarostatConfig", "SystemBuilder", "app"]

@@ -79,6 +79,39 @@ class Context:
         self._chunk_scalars = {}
         if positions is not None:
             self.set_positions(positions)
+        if getattr(integrator, "debug_enabled", False):
+            self._print_config()
+
+    def _print_config(self):
+        """Init-time configuration dump (the reference prints this per
+        kernel at initialize(), e.g. CudaVVKernels.cpp:656-666)."""
+        import sys
+        d = self.data
+        s = self.system
+        print(f"[vv-tpu] atoms={s.n_atoms} molecules={s.n_molecules} "
+              f"drude_pairs={s.drude_pairs.shape[0]} "
+              f"constraints={s.constraints.shape[0]} "
+              f"vsites={s.vsite_index.shape[0]}", file=sys.stderr)
+        print(f"[vv-tpu] scheme={'middle' if d.use_middle else 'vv'} "
+              f"dt={d.dt} T={d.temperature} freq={d.frequency} "
+              f"T_drude={d.drude_temperature} freq_drude={d.drude_frequency} "
+              f"chains={d.num_nh_chains} loops={d.loops_per_step} "
+              f"temp_groups={d.num_temp_groups} "
+              f"com_group={d.use_com_temp_group}", file=sys.stderr)
+        print(f"[vv-tpu] NH: normal={d.nh_normal.shape[0]} "
+              f"pairs={d.nh_pairs.shape[0]} DOF={list(d.temp_group_dof)}; "
+              f"LD: normal={d.ld_normal.shape[0]} "
+              f"pairs={d.ld_pairs.shape[0]} "
+              f"friction={d.friction}/{d.drude_friction}", file=sys.stderr)
+        print(f"[vv-tpu] images={d.image_pairs.shape[0]} "
+              f"mirror={d.mirror_location} "
+              f"efield={d.electric_field} "
+              f"electrolytes={d.electrolyte.shape[0]} "
+              f"cos={d.cos_acceleration} "
+              f"hardwall={d.max_drude_distance} "
+              f"analytic_spring={d.analytic_drude_spring} "
+              f"ewald_beta={s.ewald_beta:.4f} kmax={s.kmax} "
+              f"pair_kernel={self.evaluator.pair_kernel}", file=sys.stderr)
 
     # ------------------------------------------------------------- helpers
     def _make_carry(self):
