@@ -2,15 +2,12 @@
 
 The reference is strictly single-GPU (SURVEY.md section 2.4); the honest TPU
 counterpart of its intra-GPU atom parallelism is sharding the atom axis of the
-hot (N,K) neighbor kernel over ICI: positions are replicated (all-gather once
-per step, they are small), each chip computes forces for its atom shard, and
-the scalar reductions the thermostat needs (group kinetic energies, Ewald
+hot pair sweep over ICI: each chip computes forces for its atom shard, and the
+scalar reductions the thermostat needs (group kinetic energies, Ewald
 structure factors) become psum collectives.  XLA inserts the collectives from
 sharding annotations — there is no hand-written communication.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,24 +20,41 @@ def make_mesh(devices=None, axis_name: str = "atoms") -> Mesh:
     return Mesh(devices, (axis_name,))
 
 
-def shard_carry(carry, mesh: Mesh, axis_name: str = "atoms"):
-    """Place the step carry with the atom axis of the big per-atom arrays
-    sharded and everything else replicated.  Array shapes must divide the mesh
-    (the Context pads capacities to multiples of 8 already)."""
+def carry_shardings(carry, mesh: Mesh, axis_name: str = "atoms",
+                    n_atoms=None):
+    """Per-leaf NamedShardings for a step carry: big per-atom arrays get
+    their leading axis sharded, everything else (NH chains, box, RNG key,
+    scalars) is replicated.
+
+    If ``n_atoms`` is given only leaves whose leading dim equals it are
+    sharded; otherwise any leading dim that is a strict multiple of the mesh
+    size qualifies (the Context pads capacities to multiples of 8)."""
     n_dev = mesh.devices.size
 
-    def place(x):
+    def spec(x):
         x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] > n_dev:
-            return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        if x.ndim >= 1 and x.shape[0] > n_dev and x.shape[0] % n_dev == 0 \
+                and (n_atoms is None or x.shape[0] == n_atoms):
+            return NamedSharding(mesh, P(axis_name))
+        return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(place, carry)
+    return jax.tree_util.tree_map(spec, carry)
 
 
-def sharded_step(step_fn, mesh: Mesh, axis_name: str = "atoms"):
-    """jit the single-step function with sharding constraints derived from the
-    input layout; XLA propagates shardings through the whole fused step and
-    inserts psum/all-gather over ICI where the segment reductions and the NH
-    chain scalars need global values."""
-    return jax.jit(step_fn)
+def shard_carry(carry, mesh: Mesh, axis_name: str = "atoms", n_atoms=None):
+    """Place the step carry on the mesh with the atom axis of the big
+    per-atom arrays sharded and everything else replicated."""
+    shardings = carry_shardings(carry, mesh, axis_name, n_atoms)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s), carry, shardings)
+
+
+def sharded_step(step_fn, mesh: Mesh, example_carry,
+                 axis_name: str = "atoms", n_atoms=None):
+    """jit the single-step function with explicit in/out shardings derived
+    from the carry layout; XLA propagates the shardings through the fused
+    step and inserts psum/all-gather over ICI where the segment reductions
+    and the NH chain scalars need global values."""
+    shardings = carry_shardings(example_carry, mesh, axis_name, n_atoms)
+    return jax.jit(step_fn, in_shardings=(shardings,),
+                   out_shardings=shardings)
