@@ -55,14 +55,15 @@ class Context:
         self.system = system
         self.integrator = integrator
         self.data: IntegratorData = integrator.build_data(system)
-        self.evaluator = ForceEvaluator(
-            system, external_forces, ewald_chunk=ewald_chunk,
-            row_block=row_block,
-            analytic_drude_spring=self.data.analytic_drude_spring)
         self.barostat_cfg = barostat
         if box is None:
             raise ValueError("box is required")
         box = np.asarray(box, np.float32)
+        self.evaluator = ForceEvaluator(
+            system, external_forces, ewald_chunk=ewald_chunk,
+            row_block=row_block,
+            analytic_drude_spring=self.data.analytic_drude_spring,
+            box_hint=box)
 
         n = system.n_atoms
         self.cons = cons_mod.build_constraint_data(
@@ -326,7 +327,7 @@ class Context:
             st = carry.state
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
-            _, F = ev.energy_forces(pos, box)
+            _, F = ev.energy_forces(pos, box, want_energy=False)
             key, k_l = jax.random.split(st.rng_key)
             if has_extra:
                 # Langevin is applied as an exact OU velocity map in the
@@ -385,7 +386,7 @@ class Context:
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
             def recompute(_):
-                _, f = ev.energy_forces(pos, box)
+                _, f = ev.energy_forces(pos, box, want_energy=False)
                 return f
 
             F = jax.lax.cond(carry.forces_valid & ~invalidated,
@@ -416,7 +417,7 @@ class Context:
                                     0.0, new_err)
                 new_pos = img_pos
             # forces at full-step positions
-            _, F2 = ev.energy_forces(new_pos, box)
+            _, F2 = ev.energy_forces(new_pos, box, want_energy=False)
             key, k_l = jax.random.split(st.rng_key)
             Fx2 = (extra_forces(new_pos, vel, box, k_l) if has_extra
                    else jnp.zeros_like(F2))

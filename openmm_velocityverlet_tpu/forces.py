@@ -37,7 +37,8 @@ class ForceEvaluator:
     def __init__(self, system: System,
                  external_forces: Sequence[Callable] = (),
                  ewald_chunk: int = 16384, row_block: int = 1024,
-                 pair_kernel: str = "auto", analytic_drude_spring=False):
+                 pair_kernel: str = "auto", analytic_drude_spring=False,
+                 box_hint=None, pair_ts: int = 512):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
@@ -47,6 +48,18 @@ class ForceEvaluator:
             pair_kernel = ("pallas" if jax.default_backend() != "cpu"
                            else "dense")
         self.pair_kernel = pair_kernel
+        self.pair_ts = pair_ts
+        # z-band width for the sorted Pallas sweep: tiles farther than
+        # band_w in circular z order are provably beyond the cutoff.  Sized
+        # from the mean linear atom density with 15% fluctuation slack plus
+        # a 0.25 nm margin and one quantization tile; a per-step coverage
+        # check backs this up (pallas_pair.direct_space_pallas).
+        self.band_w = 0
+        if box_hint is not None and system.n_atoms > 0:
+            lz = float(np.asarray(box_hint).reshape(-1)[2])
+            per_nm = system.n_atoms / lz
+            band_atoms = (system.r_cutoff + 0.25) * per_nm * 1.15
+            self.band_w = int(np.ceil(band_atoms / pair_ts)) + 1
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed)
@@ -82,8 +95,13 @@ class ForceEvaluator:
         return sum(terms.values(), jnp.zeros((), pos.dtype)), terms
 
     # -- full evaluation --------------------------------------------------
-    def energy_forces(self, pos_raw, box):
-        """Returns (terms dict incl. every component, forces on real dofs)."""
+    def energy_forces(self, pos_raw, box, want_energy: bool = True):
+        """Returns (terms dict incl. every component, forces on real dofs).
+
+        want_energy=False lets the Pallas pair kernel skip its per-tile
+        energy reductions (the MD step consumes only forces; the jnp-side
+        term energies are byproducts of their force computation either way).
+        """
         s = self.system
         pos = self.place_vsites(pos_raw)
 
@@ -91,7 +109,8 @@ class ForceEvaluator:
             e_lj, e_coul_dir, e_corr, f_direct = \
                 pallas_pair.direct_space_pallas(
                     pos, box, jnp.asarray(s.charges), self.pair_tables,
-                    s.ewald_beta, s.r_cutoff)
+                    s.ewald_beta, s.r_cutoff, ts=self.pair_ts,
+                    band_w=self.band_w, want_energy=want_energy)
         else:
             e_lj, e_coul_dir, e_corr, f_direct = allpairs.direct_space_dense(
                 pos, box, jnp.asarray(s.charges), self.pair_tables,

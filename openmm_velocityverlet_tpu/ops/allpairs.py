@@ -105,8 +105,27 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
     residual = (np.asarray(residual, np.int32).reshape(-1, 2)
                 if residual else np.zeros((0, 2), np.int32))
 
+    # Exclusion-closure cluster ranges for the z-banded sorted sweep: merge
+    # atoms into contiguous index ranges such that no exclusion crosses a
+    # range boundary.  Sorting whole ranges (stable, members keep their
+    # internal order) preserves every intra-range index offset, so the
+    # 31-bit exclusion masks remain valid in sorted order.
+    reach = np.arange(n_atoms, dtype=np.int64)
+    for i in range(n_atoms):
+        for j in exclusions[i]:
+            if j > i:
+                reach[i] = max(reach[i], int(j))
+    cluster_ref = np.zeros(n_atoms, np.int32)
+    start, end = 0, -1
+    for i in range(n_atoms):
+        if i > end:
+            start = i
+        end = max(end, int(reach[i]))
+        cluster_ref[i] = start
+
     out = dict(arows=arows, brows=brows, onehot=onehot,
                excl_bits=excl_bits, residual=residual,
+               cluster_ref=cluster_ref,
                grows=None, gonehot=None,
                factorized=bool(exact),
                sa=sa[lj_type].astype(np.float32),

@@ -203,11 +203,40 @@ def _apply_corrections(x, cons: ConstraintData, g, ref, inv_masses):
 
 
 def _solve_small(A, b):
-    """Batched solve for the (NCL,K,K) cluster systems via unrolled
-    Gaussian elimination (no pivoting — A is an SPD Gram matrix).  Batched
-    LAPACK-style LU (jnp.linalg.solve) is far slower on TPU for tiny K."""
+    """Batched solve for the (NCL,K,K) cluster systems.  K <= 3 (the real
+    workloads: CH stars and water triangles) uses closed-form Cramer rules —
+    pure elementwise ops on (NCL,) vectors, far fewer fused ops than an
+    elimination loop.  Larger K falls back to unrolled Gaussian elimination
+    (no pivoting — A is an SPD Gram matrix; batched LAPACK-style LU is far
+    slower on TPU for tiny K)."""
     K = A.shape[-1]
     A = jnp.asarray(A)
+    if K == 1:
+        return b / A[..., 0, 0:1]
+    if K == 2:
+        a, bb, c, d = A[..., 0, 0], A[..., 0, 1], A[..., 1, 0], A[..., 1, 1]
+        det = a * d - bb * c
+        inv = 1.0 / det
+        x0 = (d * b[..., 0] - bb * b[..., 1]) * inv
+        x1 = (a * b[..., 1] - c * b[..., 0]) * inv
+        return jnp.stack([x0, x1], axis=-1)
+    if K == 3:
+        a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+        a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+        a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+        c00 = a11 * a22 - a12 * a21
+        c01 = a12 * a20 - a10 * a22
+        c02 = a10 * a21 - a11 * a20
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        inv = 1.0 / det
+        b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+        x0 = (b0 * c00 + a01 * (a12 * b2 - a22 * b1)
+              + a02 * (a21 * b1 - a11 * b2)) * inv
+        x1 = (a00 * (a22 * b1 - a12 * b2) + b0 * c01
+              + a02 * (a10 * b2 - a20 * b1)) * inv
+        x2 = (a00 * (a11 * b2 - a21 * b1) + a01 * (a20 * b1 - a10 * b2)
+              + b0 * c02) * inv
+        return jnp.stack([x0, x1, x2], axis=-1)
     b = b[..., None]
     M = jnp.concatenate([A, b], axis=-1)                      # (NCL,K,K+1)
     for k in range(K):

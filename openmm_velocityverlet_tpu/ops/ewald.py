@@ -78,22 +78,35 @@ def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 4096):
     q_p = jnp.concatenate([charges, jnp.zeros((n_pad - n,), charges.dtype)])
 
     def chunk_S(carry, inputs):
+        # complex arithmetic expanded into real f32 matmuls: four
+        # (A*B, n) x (n, C) contractions hit the MXU directly (complex64
+        # einsum lowers to a slower decomposed form)
         p, q = inputs
         tx = p[:, 0:1] * kx[None, :]
         ty = p[:, 1:2] * ky[None, :]
         tz = p[:, 2:3] * kz[None, :]
-        phix = jax.lax.complex(jnp.cos(tx), jnp.sin(tx))      # (n,A)
-        phiy = jax.lax.complex(jnp.cos(ty), jnp.sin(ty))      # (n,B)
-        phiz = jax.lax.complex(jnp.cos(tz), jnp.sin(tz))      # (n,C)
-        pxy = (q.astype(phix.dtype)[:, None, None]
-               * phix[:, :, None] * phiy[:, None, :])          # (n,A,B)
-        s = jnp.einsum("nab,nc->abc", pxy, phiz)
-        return carry + s, None
+        cx, sx = jnp.cos(tx), jnp.sin(tx)                      # (n,A)
+        cy, sy = jnp.cos(ty), jnp.sin(ty)                      # (n,B)
+        cz, sz = jnp.cos(tz), jnp.sin(tz)                      # (n,C)
+        qc = q[:, None, None]
+        re = qc * (cx[:, :, None] * cy[:, None, :]
+                   - sx[:, :, None] * sy[:, None, :])           # (n,A,B)
+        im = qc * (cx[:, :, None] * sy[:, None, :]
+                   + sx[:, :, None] * cy[:, None, :])
+        re2 = re.reshape(-1, A * B)
+        im2 = im.reshape(-1, A * B)
+        s_re = (jnp.einsum("nm,nc->mc", re2, cz)
+                - jnp.einsum("nm,nc->mc", im2, sz)).reshape(A, B, C)
+        s_im = (jnp.einsum("nm,nc->mc", re2, sz)
+                + jnp.einsum("nm,nc->mc", im2, cz)).reshape(A, B, C)
+        acc_re, acc_im = carry
+        return (acc_re + s_re, acc_im + s_im), None
 
-    S0 = jnp.zeros((A, B, C), jnp.complex64)
-    S, _ = jax.lax.scan(chunk_S, S0,
-                        (pos_p.reshape(-1, csize, 3), q_p.reshape(-1, csize)))
+    S0 = (jnp.zeros((A, B, C), jnp.float32),
+          jnp.zeros((A, B, C), jnp.float32))
+    (S_re, S_im), _ = jax.lax.scan(
+        chunk_S, S0, (pos_p.reshape(-1, csize, 3), q_p.reshape(-1, csize)))
     vol = box[0] * box[1] * box[2]
     e = (ONE_4PI_EPS0 * 2.0 * PI / vol
-         * jnp.sum(w * (jnp.real(S) ** 2 + jnp.imag(S) ** 2)))
+         * jnp.sum(w * (S_re * S_re + S_im * S_im)))
     return e

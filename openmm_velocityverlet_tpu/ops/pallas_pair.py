@@ -139,28 +139,49 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
 
 
 def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
-                     grows_ref, posT_ref, qT_ref, onehotT_ref, bitsT_ref,
-                     gonehotT_ref, box_ref, rows_ref, colacc_ref, *, n, ts,
-                     beta, r_cutoff, t_dim, use_groups, mode):
+                     oid_rows_ref, grows_ref, posT_ref, qT_ref, onehotT_ref,
+                     bitsT_ref, oidT_ref, gonehotT_ref, box_ref, rows_ref,
+                     colacc_ref, *, n, ts, beta, r_cutoff, t_dim, use_groups,
+                     mode, want_energy):
     """Upper-triangle tile sweep: Newton's third law halves the pair work.
 
     TPU grid execution is sequential, so output blocks revisited across the
     inner grid axis accumulate in VMEM, and the full-length column
     accumulator (constant index map) collects -f across all programs.
 
-    Two specializations avoid paying exclusion/correction math everywhere:
-    mode="band"  grid (n_tiles, 2), j = i + pid(1): diagonal + first
-                 off-diagonal tiles with the exclusion bitmask and the
-                 -qq erf(beta r)/r correction (exclusions only reach
-                 |delta| <= 31 < ts);
-    mode="far"   grid (n_tiles, n_tiles), tiles with j >= i + 2: lean pair
-                 math only — no integer ops, no correction path.
+    Three specializations:
+    mode="band"    grid (n_tiles, 2), j = i + pid(1): diagonal + first
+                   off-diagonal tiles with the exclusion bitmask tested
+                   against index *positions* (iota) and the
+                   -qq erf(beta r)/r correction (exclusions only reach
+                   |delta| <= 31 < ts in original atom order);
+    mode="far"     grid (n_tiles, n_tiles), tiles with j >= i + 2: lean pair
+                   math only — no integer ops, no correction path;
+    mode="bandall" the z-banded sorted sweep (rows pre-sorted by wrapped z,
+                   see direct_space_pallas): grid (n_tiles, W+1) with the
+                   column tile wrapping, j = (i + pid(1)) % n_tiles — tile
+                   pairs farther than W in circular z order are provably
+                   beyond the cutoff and never touched.  Exclusions are
+                   tested against the carried ORIGINAL atom indices
+                   (oid_rows/oidT), since sorting scrambles positions but
+                   excluded pairs stay spatially (hence z-) close.  Requires
+                   n_tiles >= 2W+1 so every unordered tile pair is visited
+                   exactly once.
+
+    want_energy=False skips the three per-tile energy reductions (the MD
+    step only consumes forces; energies are a separate query path).
     """
     i = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
     band = mode == "band"
-    if band:
+    bandall = mode == "bandall"
+    test_excl = band or bandall
+    if bandall:
+        j = jax.lax.rem(i + pl.program_id(1), n_tiles)
+        active = jnp.bool_(True)
+        first = pl.program_id(1) == 0
+    elif band:
         j = i + pl.program_id(1)
-        n_tiles = pl.num_programs(0)
         active = j < n_tiles
         first = pl.program_id(1) == 0
     else:
@@ -207,8 +228,12 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         r2 = dx * dx + dy * dy + dz * dz
 
         alive = (row_ids < n) & (col_ids < n)
-        if band:
-            delta = col_ids - row_ids
+        if test_excl:
+            if bandall:
+                # sorted order: exclusion offsets live in ORIGINAL indices
+                delta = oidT_ref[:, pl.ds(col0, ts)] - oid_rows_ref[:, :]
+            else:
+                delta = col_ids - row_ids
             bits_rows = bits_rows_ref[:, :]
             bits_col = bitsT_ref[:, pl.ds(col0, ts)]
             dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
@@ -236,9 +261,10 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         r = r2s * inv_r
         inv_r2_lj = 1.0 / jnp.maximum(r2, 1e-6)
         inv_r6 = inv_r2_lj * inv_r2_lj * inv_r2_lj
-        inv_r12 = inv_r6 * inv_r6
-        e_lj = a * a * inv_r12 - b * inv_r6
-        f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2_lj
+        a12 = a * a * (inv_r6 * inv_r6)
+        b6 = b * inv_r6
+        e_lj = a12 - b6
+        f_lj = (12.0 * a12 - 6.0 * b6) * inv_r2_lj
         br = beta * r
         expm = jnp.exp(-br * br)
         t = 1.0 / (1.0 + 0.3275911 * br)
@@ -246,38 +272,42 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                    + t * (-1.453152027 + t * 1.061405429))))) * expm
         gauss = (2.0 * beta / _SQRT_PI) * expm
         e_c = qq * erfc_br * inv_r
-        f_c = qq * (erfc_br * inv_r + gauss) * inv_r2
+        f_c = (e_c + qq * gauss) * inv_r2
         zero = jnp.zeros_like(r2)
-        if band:
+        if test_excl:
             in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
             corr = alive & excl
             erf_inv_r = (1.0 - erfc_br) * inv_r
-            e_x = -qq * erf_inv_r
             f_x = -qq * (erf_inv_r - gauss) * inv_r2
             f_s = jnp.where(in_range, f_lj + f_c, zero) + \
                 jnp.where(corr, f_x, zero)
-            ecorr = jnp.sum(jnp.where(corr, e_x, zero), axis=1, keepdims=True)
         else:
             in_range = alive & (r2 < r_cutoff * r_cutoff)
             f_s = jnp.where(in_range, f_lj + f_c, zero)
-            ecorr = jnp.zeros((ts, 1), jnp.float32)
 
-        half = jnp.where(jnp.logical_and(band, i == j), 0.5, 1.0) \
-            if band else 1.0
         fx = jnp.sum(f_s * dx, axis=1, keepdims=True)
         fy = jnp.sum(f_s * dy, axis=1, keepdims=True)
         fz = jnp.sum(f_s * dz, axis=1, keepdims=True)
-        elj = half * jnp.sum(jnp.where(in_range, e_lj, zero), axis=1,
-                             keepdims=True)
-        ecoul = half * jnp.sum(jnp.where(in_range, e_c, zero), axis=1,
-                               keepdims=True)
-        ecorr = half * ecorr
+        if want_energy:
+            half = jnp.where(i == j, 0.5, 1.0) if test_excl else 1.0
+            if test_excl:
+                e_x = -qq * erf_inv_r
+                ecorr = half * jnp.sum(jnp.where(corr, e_x, zero), axis=1,
+                                       keepdims=True)
+            else:
+                ecorr = jnp.zeros((ts, 1), jnp.float32)
+            elj = half * jnp.sum(jnp.where(in_range, e_lj, zero), axis=1,
+                                 keepdims=True)
+            ecoul = half * jnp.sum(jnp.where(in_range, e_c, zero), axis=1,
+                                   keepdims=True)
+        else:
+            elj = ecoul = ecorr = jnp.zeros((ts, 1), jnp.float32)
         block = jnp.concatenate(
             [fx, fy, fz, elj, ecoul, ecorr,
              jnp.zeros((ts, 2), jnp.float32)], axis=1)
         rows_ref[:, :] = rows_ref[:, :] + block
 
-        @pl.when(jnp.logical_not(jnp.logical_and(band, i == j)))
+        @pl.when(jnp.logical_not(jnp.logical_and(test_excl, i == j)))
         def _acc_cols():
             # column-side reaction forces (Newton's third law)
             gx = -jnp.sum(f_s * dx, axis=0, keepdims=True)       # (1,ts)
@@ -289,14 +319,16 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             colacc_ref[:, pl.ds(col0, ts)] = cur + upd
 
 
-def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT,
-              bitsT, gonehotT, box, beta, r_cutoff, ts, n_real, interpret):
+def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
+              onehotT, bitsT, oidT, gonehotT, box, beta, r_cutoff, ts,
+              n_real, interpret, want_energy=True):
     n_pad = posT.shape[1]
     t2 = ab.shape[1]
     use_groups = gonehotT.shape[0] > 1
     kernel = functools.partial(
         _pair_tri_kernel, n=n_real, ts=ts, beta=beta, r_cutoff=r_cutoff,
-        t_dim=t2 // 2, use_groups=use_groups, mode=mode)
+        t_dim=t2 // 2, use_groups=use_groups, mode=mode,
+        want_energy=want_energy)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -309,8 +341,11 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, grows.shape[1]), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -329,24 +364,39 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT,
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT, box)
+    )(pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT, bitsT, oidT,
+      gonehotT, box)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "ts", "n_real",
-                                    "interpret"))
-def _run_tri(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT,
-             gonehotT, box, beta, r_cutoff, ts, n_real, interpret=False):
+                                    "band_w", "want_energy", "interpret"))
+def _run_tri(pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT, bitsT,
+             oidT, gonehotT, box, beta, r_cutoff, ts, n_real, band_w=0,
+             want_energy=True, interpret=False):
     n_pad = posT.shape[1]
     n_tiles = n_pad // ts
-    args = (pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT,
-            gonehotT, box, beta, r_cutoff, ts, n_real, interpret)
-    rows_b, col_b = _tri_call("band", (n_tiles, min(2, n_tiles)), *args)
+    banded = band_eligible(n_pad, ts, band_w)
+    args = (pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT, bitsT,
+            oidT, gonehotT, box, beta, r_cutoff, ts, n_real, interpret)
+    if banded:
+        return _tri_call("bandall", (n_tiles, band_w + 1), *args,
+                         want_energy=want_energy)
+    rows_b, col_b = _tri_call("band", (n_tiles, min(2, n_tiles)), *args,
+                              want_energy=want_energy)
     if n_tiles > 2:
-        rows_f, col_f = _tri_call("far", (n_tiles, n_tiles), *args)
+        rows_f, col_f = _tri_call("far", (n_tiles, n_tiles), *args,
+                                  want_energy=want_energy)
         rows_b = rows_b + rows_f
         col_b = col_b + col_f
     return rows_b, col_b
+
+
+def band_eligible(n_pad: int, ts: int, band_w: int) -> bool:
+    """True when the banded enumeration covers every unordered tile pair
+    exactly once (same predicate _run_tri uses)."""
+    n_tiles = n_pad // ts
+    return band_w >= 1 and n_tiles >= 2 * band_w + 1 and n_tiles >= 3
 
 
 @functools.partial(jax.jit,
@@ -392,15 +442,26 @@ def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
 
 def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                         tm: int = 256, tn: int = 512, interpret: bool = False,
-                        symmetric: bool = True, ts: int = 512):
+                        symmetric: bool = True, ts: int = 512,
+                        band_w: int = 0, want_energy: bool = True):
     """Drop-in replacement for allpairs.direct_space_dense on TPU.
 
     symmetric=True runs the upper-triangle kernel (half the pair work via
-    Newton's third law); False runs the full rectangular sweep."""
+    Newton's third law); False runs the full rectangular sweep.
+
+    band_w > 0 enables the z-banded sweep: atoms are re-sorted every call by
+    the wrapped z of their exclusion-cluster reference atom (clusters stay
+    contiguous and keep their internal order, so the 31-bit exclusion masks
+    survive the permutation), and only tile pairs within band_w circular
+    tile offsets are computed.  A per-call coverage check poisons the forces
+    with NaN if density fluctuations ever push an uncovered tile pair within
+    the cutoff (the caller's NaN watchdog turns that into a hard error);
+    band_w is sized with slack so this cannot happen in healthy dynamics."""
     n = pos.shape[0]
     blk = ts if symmetric else max(tm, tn)
     n_pad = ((n + blk - 1) // blk) * blk
     pad = n_pad - n
+    use_band = symmetric and band_eligible(n_pad, ts, band_w)
 
     pos2d = jnp.concatenate(
         [pos, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)
@@ -413,34 +474,92 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
     bits2d = jnp.concatenate(
         [jnp.asarray(tables["excl_bits"]).reshape(-1, 1),
          jnp.zeros((pad, 1), jnp.int32)], axis=0)
-    posT = pos2d.T
-    qT = q2d.T
-    bitsT = bits2d.T
-    onehotT = jnp.concatenate(
-        [jnp.asarray(tables["onehot"]).T,
-         jnp.zeros((tables["onehot"].shape[1], pad), jnp.float32)], axis=1)
+    onehot2d = jnp.concatenate(
+        [jnp.asarray(tables["onehot"]),
+         jnp.zeros((pad, tables["onehot"].shape[1]), jnp.float32)], axis=0)
     if tables["grows"] is not None:
         grows = jnp.concatenate(
             [jnp.asarray(tables["grows"]),
              jnp.zeros((pad, tables["grows"].shape[1]), jnp.float32)], axis=0)
-        gonehotT = jnp.concatenate(
-            [jnp.asarray(tables["gonehot"]).T,
-             jnp.zeros((tables["gonehot"].shape[1], pad), jnp.float32)],
-            axis=1)
+        gonehot2d = jnp.concatenate(
+            [jnp.asarray(tables["gonehot"]),
+             jnp.zeros((pad, tables["gonehot"].shape[1]), jnp.float32)],
+            axis=0)
     else:
         grows = jnp.zeros((n_pad, 1), jnp.float32)
-        gonehotT = jnp.zeros((1, n_pad), jnp.float32)
+        gonehot2d = jnp.zeros((n_pad, 1), jnp.float32)
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
 
+    flag = None
+    invperm = None
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    oid2d = iota.reshape(-1, 1)
+    if use_band:
+        # per-atom wrapped z sort; exclusion offsets are tested against the
+        # carried ORIGINAL indices inside the kernel, so the sort needs no
+        # cluster structure at all (index tie-break keeps it deterministic).
+        lz = box_arr[2]
+        zw = pos[:, 2] - lz * jnp.floor(pos[:, 2] / lz)
+        big = jnp.full((pad,), 1e30, jnp.float32)
+        keys = jnp.concatenate([zw.astype(jnp.float32), big])
+        _, perm = jax.lax.sort((keys, iota), num_keys=2)
+        invperm = jnp.zeros((n_pad,), jnp.int32).at[perm].set(iota)
+        pos2d = pos2d[perm]
+        q2d = q2d[perm]
+        ab = ab[perm]
+        bits2d = bits2d[perm]
+        oid2d = perm.reshape(-1, 1)
+        onehot2d = onehot2d[perm]
+        grows = grows[perm]
+        gonehot2d = gonehot2d[perm]
+
+        # coverage check: circular z-interval gap between every uncovered
+        # tile pair must exceed the cutoff
+        n_tiles = n_pad // ts
+        skeys = keys[perm].reshape(n_tiles, ts)
+        valid = (iota < n).reshape(n_tiles, ts)    # pad sorts last
+        zmin = jnp.min(jnp.where(valid, skeys, jnp.inf), axis=1)
+        zmax = jnp.max(jnp.where(valid, skeys, -jnp.inf), axis=1)
+        nonempty = valid.any(axis=1)
+        c = 0.5 * (zmin + zmax)
+        r = 0.5 * (zmax - zmin)
+        d = jnp.abs(c[:, None] - c[None, :]) % lz
+        d = jnp.minimum(d, lz - d)
+        gap = d - r[:, None] - r[None, :]
+        off = (np.arange(n_tiles)[None, :]
+               - np.arange(n_tiles)[:, None]) % n_tiles
+        covered = np.minimum(off, n_tiles - off) <= band_w
+        bad = (~covered) & (gap <= r_cutoff) \
+            & nonempty[:, None] & nonempty[None, :]
+        flag = bad.any()
+
+    posT = pos2d.T
+    qT = q2d.T
+    bitsT = bits2d.T
+    oidT = oid2d.T
+    onehotT = onehot2d.T
+    gonehotT = gonehot2d.T
+
     if symmetric:
-        rows, colacc = _run_tri(pos2d, q2d, ab, bits2d, grows, posT, qT,
-                                onehotT, bitsT, gonehotT, box_arr,
+        rows, colacc = _run_tri(pos2d, q2d, ab, bits2d, oid2d, grows, posT,
+                                qT, onehotT, bitsT, oidT, gonehotT, box_arr,
                                 float(beta), float(r_cutoff), ts, n,
-                                interpret)
-        forces = rows[:n, :3] + colacc[:3, :n].T
+                                band_w=(band_w if use_band else 0),
+                                want_energy=want_energy,
+                                interpret=interpret)
+        if use_band:
+            f_full = rows[:, :3] + colacc[:3, :].T
+            forces = f_full[invperm][:n]
+        else:
+            forces = rows[:n, :3] + colacc[:3, :n].T
         e_lj = jnp.sum(rows[:, 3])
         e_coul = jnp.sum(rows[:, 4])
         e_corr = jnp.sum(rows[:, 5])
+        if use_band:
+            poison = jnp.where(flag, jnp.float32(jnp.nan), jnp.float32(0.0))
+            forces = forces + poison
+            e_lj = e_lj + poison
+            e_coul = e_coul + poison
     else:
         fout = _run(pos2d, q2d, ab, bits2d, grows, posT, qT,
                     onehotT, bitsT, gonehotT, box_arr,

@@ -55,3 +55,65 @@ def test_pallas_matches_dense(use_groups, symmetric, bandwidth):
         np.testing.assert_allclose(float(y), float(x), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(e2[3]), np.asarray(e1[3]),
                                rtol=1e-3, atol=5e-2)
+
+
+def _mol_system(n_mol, rng, lz=12.0, apm=4):
+    """Molecule-structured system: apm consecutive atoms per molecule with
+    full intra-molecular exclusions, members spatially tight around a random
+    center (the physical contract behind z-banding: excluded pairs are
+    always within the cutoff).  Some molecules straddle the z wrap."""
+    n = n_mol * apm
+    T = 3
+    lj_type = rng.integers(0, T, n)
+    sig = rng.uniform(0.25, 0.4, T)
+    eps = rng.uniform(0.1, 1.0, T)
+    a = np.sqrt(np.outer(eps, eps)) ** 0.5 * np.outer(sig, sig) ** 3 * 2.0
+    b = 2.0 * np.sqrt(np.outer(eps, eps)) * np.outer(sig, sig) ** 3 * 2.0
+    excl = np.full((n, apm - 1), -1, np.int64)
+    pos = np.zeros((n, 3))
+    for m in range(n_mol):
+        base = m * apm
+        center = rng.uniform(0, 1, 3) * np.array([3.0, 3.0, lz])
+        for k in range(apm):
+            i = base + k
+            pos[i] = center + rng.normal(0, 0.05, 3)
+            for j in range(i + 1, base + apm):
+                excl[i, j - i - 1] = j
+    box = np.array([3.0, 3.0, lz], np.float32)
+    q = rng.normal(0, 0.5, n)
+    return lj_type, a, b, excl, pos, box, q
+
+
+@pytest.mark.parametrize("want_energy", [True, False])
+def test_pallas_banded_matches_dense(want_energy):
+    """z-banded sorted sweep == dense sweep on a long-box molecular system
+    where banding actually prunes tiles (12 tiles, W=3)."""
+    rng = np.random.default_rng(3)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl)
+    # clusters must be small (one molecule each), not one merged range
+    assert len(np.unique(tables["cluster_ref"])) == 384
+    beta, rc = 2.2, 1.2
+    pos = jnp.asarray(pos, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    e1 = allpairs.direct_space_dense(pos, box, q, tables, beta, rc, 256)
+    e2 = pallas_pair.direct_space_pallas(pos, box, q, tables, beta, rc,
+                                         ts=128, interpret=True,
+                                         band_w=3, want_energy=want_energy)
+    if want_energy:
+        for x, y in zip(e1[:3], e2[:3]):
+            np.testing.assert_allclose(float(y), float(x), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(e2[3]), np.asarray(e1[3]),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_pallas_band_coverage_flag_poisons():
+    """An undersized band width must poison the forces with NaN instead of
+    silently dropping in-cutoff pairs."""
+    rng = np.random.default_rng(4)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl)
+    out = pallas_pair.direct_space_pallas(
+        jnp.asarray(pos, jnp.float32), box, jnp.asarray(q, jnp.float32),
+        tables, 2.2, 1.2, ts=128, interpret=True, band_w=1)
+    assert not bool(np.isfinite(np.asarray(out[3])).all())
