@@ -18,6 +18,7 @@ TPU-tunnel-aware design notes (measured on the axon transport):
 """
 from __future__ import annotations
 
+import typing
 from typing import Optional, Sequence
 
 import jax
@@ -44,6 +45,9 @@ class Carry:
     forces: jnp.ndarray        # (N,3) cached FF forces (VV scheme carry)
     forces_extra: jnp.ndarray  # (N,3) cached extra forces (VV scheme carry)
     forces_valid: jnp.ndarray  # () bool
+    # z-sort cache for the banded pair sweep (None when banding is off);
+    # refreshed every sort_refresh steps inside the step itself
+    pair_cache: typing.Any = None
 
 
 class Context:
@@ -51,7 +55,11 @@ class Context:
                  external_forces: Sequence = (),
                  barostat: Optional[baro_mod.BarostatConfig] = None,
                  positions=None, box=None, row_block: int = 1024,
-                 ewald_chunk: int = 4096, **_legacy):
+                 ewald_chunk: int = 4096, sort_refresh: int = 25, **_legacy):
+        # sort_refresh: steps between z-sort cache rebuilds for the banded
+        # pair sweep (staleness is safe — the per-step coverage check runs
+        # against current positions; 25 amortizes the ~0.33 ms device sort)
+        self.sort_refresh = int(sort_refresh)
         self.system = system
         self.integrator = integrator
         self.data: IntegratorData = integrator.build_data(system)
@@ -120,10 +128,13 @@ class Context:
         vol = float(st.box[0] * st.box[1] * st.box[2])
         baro = baro_mod.make_barostat_state(vol)
         n = self.system.n_atoms
+        cache = (jax.jit(self.evaluator.make_pair_cache)(st.pos, st.box)
+                 if self.evaluator.uses_band else None)
         return Carry(state=st, baro=baro,
                      forces=jnp.zeros((n, 3), f32),
                      forces_extra=jnp.zeros((n, 3), f32),
-                     forces_valid=jnp.zeros((), bool))
+                     forces_valid=jnp.zeros((), bool),
+                     pair_cache=cache)
 
     # --------------------------------------------------------- public API
     def set_positions(self, positions):
@@ -254,6 +265,20 @@ class Context:
         has_extra = has_ld or has_ef or has_cos
         has_cons = cons.n_constraints > 0
         baro_cfg = self.barostat_cfg
+        uses_band = ev.uses_band
+        refresh = self.sort_refresh
+
+        def refreshed_cache(carry: Carry):
+            """Rebuild the z-sort cache every `refresh` steps (both lax.cond
+            branches are compiled; only one executes per step)."""
+            if not uses_band:
+                return None
+            st = carry.state
+            return jax.lax.cond(
+                st.step % refresh == 0,
+                lambda a: ev.make_pair_cache(a[0], a[1]),
+                lambda a: carry.pair_cache,
+                (st.pos, st.box))
 
         def extra_forces(pos, vel, box, key, ld_as_force=True):
             f = jnp.zeros_like(pos)
@@ -324,10 +349,13 @@ class Context:
         # ------------------------------ middle scheme (stepMiddle) --------
         def step_middle(carry: Carry) -> Carry:
             carry, _ = update_context_state(carry)
+            cache = refreshed_cache(carry)
+            carry = carry.replace(pair_cache=cache)
             st = carry.state
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
-            _, F = ev.energy_forces(pos, box, want_energy=False)
+            _, F = ev.energy_forces(pos, box, want_energy=False,
+                                    pair_cache=cache)
             key, k_l = jax.random.split(st.rng_key)
             if has_extra:
                 # Langevin is applied as an exact OU velocity map in the
@@ -382,11 +410,14 @@ class Context:
         # --------------------------- vanilla VV scheme (stepVV) -----------
         def step_vv(carry: Carry) -> Carry:
             carry, invalidated = update_context_state(carry)
+            cache = refreshed_cache(carry)
+            carry = carry.replace(pair_cache=cache)
             st = carry.state
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
             def recompute(_):
-                _, f = ev.energy_forces(pos, box, want_energy=False)
+                _, f = ev.energy_forces(pos, box, want_energy=False,
+                                        pair_cache=cache)
                 return f
 
             F = jax.lax.cond(carry.forces_valid & ~invalidated,
@@ -417,7 +448,8 @@ class Context:
                                     0.0, new_err)
                 new_pos = img_pos
             # forces at full-step positions
-            _, F2 = ev.energy_forces(new_pos, box, want_energy=False)
+            _, F2 = ev.energy_forces(new_pos, box, want_energy=False,
+                                     pair_cache=cache)
             key, k_l = jax.random.split(st.rng_key)
             Fx2 = (extra_forces(new_pos, vel, box, k_l) if has_extra
                    else jnp.zeros_like(F2))

@@ -75,6 +75,23 @@ class ForceEvaluator:
                                      s.vsite_origin_w, s.vsite_x_w,
                                      s.vsite_y_w, s.vsite_local)
 
+    # -- z-sort cache for the banded pair sweep ---------------------------
+    @property
+    def uses_band(self) -> bool:
+        if self.pair_kernel != "pallas" or self.band_w < 1:
+            return False
+        n_pad = ((self.system.n_atoms + self.pair_ts - 1)
+                 // self.pair_ts) * self.pair_ts
+        return pallas_pair.band_eligible(n_pad, self.pair_ts, self.band_w)
+
+    def make_pair_cache(self, pos_raw, box):
+        """Sorted-permutation + permuted-statics cache (device-side, callable
+        under jit).  Refresh every few dozen steps; the per-call coverage
+        check makes staleness safe."""
+        return pallas_pair.make_pair_cache(
+            self.place_vsites(pos_raw), box,
+            jnp.asarray(self.system.charges), self.pair_tables, self.pair_ts)
+
     # -- grad-differentiated terms ---------------------------------------
     def _smooth_energy(self, pos, box):
         """The few remaining terms whose force comes from jax.grad: Ewald
@@ -95,12 +112,14 @@ class ForceEvaluator:
         return sum(terms.values(), jnp.zeros((), pos.dtype)), terms
 
     # -- full evaluation --------------------------------------------------
-    def energy_forces(self, pos_raw, box, want_energy: bool = True):
+    def energy_forces(self, pos_raw, box, want_energy: bool = True,
+                      pair_cache=None):
         """Returns (terms dict incl. every component, forces on real dofs).
 
         want_energy=False lets the Pallas pair kernel skip its per-tile
         energy reductions (the MD step consumes only forces; the jnp-side
         term energies are byproducts of their force computation either way).
+        pair_cache (a pallas_pair.PairCache) skips the per-call z-sort.
         """
         s = self.system
         pos = self.place_vsites(pos_raw)
@@ -110,7 +129,8 @@ class ForceEvaluator:
                 pallas_pair.direct_space_pallas(
                     pos, box, jnp.asarray(s.charges), self.pair_tables,
                     s.ewald_beta, s.r_cutoff, ts=self.pair_ts,
-                    band_w=self.band_w, want_energy=want_energy)
+                    band_w=self.band_w, want_energy=want_energy,
+                    cache=pair_cache)
         else:
             e_lj, e_coul_dir, e_corr, f_direct = allpairs.direct_space_dense(
                 pos, box, jnp.asarray(s.charges), self.pair_tables,

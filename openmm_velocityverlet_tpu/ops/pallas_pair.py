@@ -18,6 +18,7 @@ Fallback for CPU tests / oversized systems is ops/allpairs.direct_space_dense
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,81 @@ from ..units import ONE_4PI_EPS0
 
 _SQRT_PI = 1.7724538509055159
 MAX_EXCL_OFFSET = 31
+
+
+class PairCache(NamedTuple):
+    """Carried z-sort state for the banded sweep: the permutation plus every
+    permuted static table (row layout and pre-transposed column layout), so
+    a step with a cached sort only gathers/transposes positions.  Refreshed
+    every few dozen steps; staleness is safe because the per-step coverage
+    check runs against CURRENT positions (drift only widens the tile
+    z-intervals it tests)."""
+    perm: jnp.ndarray        # (n_pad,) i32 sorted position -> original index
+    invperm: jnp.ndarray     # (n_pad,) i32
+    q2d: jnp.ndarray         # (n_pad,1) f32 sorted charges
+    ab: jnp.ndarray          # (n_pad,2T) f32 sorted LJ rows
+    bits2d: jnp.ndarray      # (n_pad,1) i32 sorted exclusion masks
+    grows: jnp.ndarray       # (n_pad,G) f32 sorted group rows
+    qT: jnp.ndarray          # (1,n_pad)
+    bitsT: jnp.ndarray       # (1,n_pad) i32
+    oidT: jnp.ndarray        # (1,n_pad) i32 original indices
+    onehotT: jnp.ndarray     # (T,n_pad)
+    gonehotT: jnp.ndarray    # (G,n_pad)
+
+
+def _padded_statics(n, pad, charges, tables):
+    """Padded, original-order static row arrays."""
+    q2d = jnp.concatenate(
+        [charges.reshape(-1, 1), jnp.zeros((pad, 1), jnp.float32)], axis=0)
+    ab = np.concatenate([tables["arows"], tables["brows"]],
+                        axis=1).astype(np.float32)
+    ab = jnp.concatenate(
+        [jnp.asarray(ab), jnp.zeros((pad, ab.shape[1]), jnp.float32)], axis=0)
+    bits2d = jnp.concatenate(
+        [jnp.asarray(tables["excl_bits"]).reshape(-1, 1),
+         jnp.zeros((pad, 1), jnp.int32)], axis=0)
+    onehot2d = jnp.concatenate(
+        [jnp.asarray(tables["onehot"]),
+         jnp.zeros((pad, tables["onehot"].shape[1]), jnp.float32)], axis=0)
+    if tables["grows"] is not None:
+        grows = jnp.concatenate(
+            [jnp.asarray(tables["grows"]),
+             jnp.zeros((pad, tables["grows"].shape[1]), jnp.float32)], axis=0)
+        gonehot2d = jnp.concatenate(
+            [jnp.asarray(tables["gonehot"]),
+             jnp.zeros((pad, tables["gonehot"].shape[1]), jnp.float32)],
+            axis=0)
+    else:
+        grows = jnp.zeros((n + pad, 1), jnp.float32)
+        gonehot2d = jnp.zeros((n + pad, 1), jnp.float32)
+    return q2d, ab, bits2d, onehot2d, grows, gonehot2d
+
+
+def make_pair_cache(pos, box, charges, tables, ts: int = 512) -> PairCache:
+    """Sort atoms by wrapped z and permute every static table (device-side;
+    call under jit, e.g. inside the step's refresh branch)."""
+    n = pos.shape[0]
+    n_pad = ((n + ts - 1) // ts) * ts
+    pad = n_pad - n
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    lz = box_arr[2]
+    zw = pos[:, 2] - lz * jnp.floor(pos[:, 2] / lz)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    keys = jnp.concatenate([zw.astype(jnp.float32),
+                            jnp.full((pad,), 1e30, jnp.float32)])
+    _, perm = jax.lax.sort((keys, iota), num_keys=2)
+    invperm = jnp.zeros((n_pad,), jnp.int32).at[perm].set(iota)
+    q2d, ab, bits2d, onehot2d, grows, gonehot2d = _padded_statics(
+        n, pad, charges, tables)
+    q2d = q2d[perm]
+    ab = ab[perm]
+    bits2d = bits2d[perm]
+    grows = grows[perm]
+    return PairCache(
+        perm=perm, invperm=invperm, q2d=q2d, ab=ab, bits2d=bits2d,
+        grows=grows, qT=q2d.reshape(1, -1), bitsT=bits2d.reshape(1, -1),
+        oidT=perm.reshape(1, -1), onehotT=onehot2d[perm].T,
+        gonehotT=gonehot2d[perm].T)
 
 
 def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
@@ -443,102 +519,94 @@ def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
 def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                         tm: int = 256, tn: int = 512, interpret: bool = False,
                         symmetric: bool = True, ts: int = 512,
-                        band_w: int = 0, want_energy: bool = True):
+                        band_w: int = 0, want_energy: bool = True,
+                        cache: "PairCache | None" = None):
     """Drop-in replacement for allpairs.direct_space_dense on TPU.
 
     symmetric=True runs the upper-triangle kernel (half the pair work via
     Newton's third law); False runs the full rectangular sweep.
 
-    band_w > 0 enables the z-banded sweep: atoms are re-sorted every call by
-    the wrapped z of their exclusion-cluster reference atom (clusters stay
-    contiguous and keep their internal order, so the 31-bit exclusion masks
-    survive the permutation), and only tile pairs within band_w circular
-    tile offsets are computed.  A per-call coverage check poisons the forces
-    with NaN if density fluctuations ever push an uncovered tile pair within
-    the cutoff (the caller's NaN watchdog turns that into a hard error);
-    band_w is sized with slack so this cannot happen in healthy dynamics."""
+    band_w > 0 enables the z-banded sweep: atoms are sorted by wrapped z and
+    only tile pairs within band_w circular tile offsets are computed;
+    exclusion masks are tested against carried original indices inside the
+    kernel, so the sort needs no cluster structure.  Pass a PairCache (from
+    make_pair_cache, refreshed every few dozen steps) to skip the per-call
+    sort and static-table permutation; without one the sort happens here.
+    A per-call coverage check against CURRENT positions poisons the forces
+    with NaN if an uncovered tile pair ever comes within the cutoff (the
+    caller's NaN watchdog turns that into a hard error), which also makes a
+    stale cached sort safe; band_w is sized with slack so a healthy run
+    never trips it."""
     n = pos.shape[0]
     blk = ts if symmetric else max(tm, tn)
     n_pad = ((n + blk - 1) // blk) * blk
     pad = n_pad - n
     use_band = symmetric and band_eligible(n_pad, ts, band_w)
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
 
     pos2d = jnp.concatenate(
         [pos, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)
-    q2d = jnp.concatenate(
-        [charges.reshape(-1, 1), jnp.zeros((pad, 1), jnp.float32)], axis=0)
-    ab = np.concatenate([tables["arows"], tables["brows"]],
-                        axis=1).astype(np.float32)
-    ab = jnp.concatenate(
-        [jnp.asarray(ab), jnp.zeros((pad, ab.shape[1]), jnp.float32)], axis=0)
-    bits2d = jnp.concatenate(
-        [jnp.asarray(tables["excl_bits"]).reshape(-1, 1),
-         jnp.zeros((pad, 1), jnp.int32)], axis=0)
-    onehot2d = jnp.concatenate(
-        [jnp.asarray(tables["onehot"]),
-         jnp.zeros((pad, tables["onehot"].shape[1]), jnp.float32)], axis=0)
-    if tables["grows"] is not None:
-        grows = jnp.concatenate(
-            [jnp.asarray(tables["grows"]),
-             jnp.zeros((pad, tables["grows"].shape[1]), jnp.float32)], axis=0)
-        gonehot2d = jnp.concatenate(
-            [jnp.asarray(tables["gonehot"]),
-             jnp.zeros((pad, tables["gonehot"].shape[1]), jnp.float32)],
-            axis=0)
-    else:
-        grows = jnp.zeros((n_pad, 1), jnp.float32)
-        gonehot2d = jnp.zeros((n_pad, 1), jnp.float32)
-    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
 
     flag = None
     invperm = None
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
-    oid2d = iota.reshape(-1, 1)
     if use_band:
-        # per-atom wrapped z sort; exclusion offsets are tested against the
-        # carried ORIGINAL indices inside the kernel, so the sort needs no
-        # cluster structure at all (index tie-break keeps it deterministic).
+        if cache is None:
+            cache = make_pair_cache(pos, box_arr, charges, tables, ts)
+        invperm = cache.invperm
         lz = box_arr[2]
         zw = pos[:, 2] - lz * jnp.floor(pos[:, 2] / lz)
-        big = jnp.full((pad,), 1e30, jnp.float32)
-        keys = jnp.concatenate([zw.astype(jnp.float32), big])
-        _, perm = jax.lax.sort((keys, iota), num_keys=2)
-        invperm = jnp.zeros((n_pad,), jnp.int32).at[perm].set(iota)
-        pos2d = pos2d[perm]
-        q2d = q2d[perm]
-        ab = ab[perm]
-        bits2d = bits2d[perm]
-        oid2d = perm.reshape(-1, 1)
-        onehot2d = onehot2d[perm]
-        grows = grows[perm]
-        gonehot2d = gonehot2d[perm]
+        keys = jnp.concatenate([zw.astype(jnp.float32),
+                                jnp.full((pad,), 1e30, jnp.float32)])
+        pos2d = pos2d[cache.perm]
+        q2d, ab, bits2d, grows = cache.q2d, cache.ab, cache.bits2d, \
+            cache.grows
+        oid2d = cache.perm.reshape(-1, 1)
+        qT, bitsT, oidT = cache.qT, cache.bitsT, cache.oidT
+        onehotT, gonehotT = cache.onehotT, cache.gonehotT
 
-        # coverage check: circular z-interval gap between every uncovered
-        # tile pair must exceed the cutoff
+        # coverage check on CURRENT positions: the circular z-interval gap
+        # between every uncovered tile pair must exceed the cutoff (exact
+        # even when the cached sort is stale — drift widens the intervals).
+        # Intervals are built around each tile's CIRCULAR mean so atoms that
+        # wrapped across the z boundary since the sort don't blow a linear
+        # [min,max] up to the whole box.
         n_tiles = n_pad // ts
-        skeys = keys[perm].reshape(n_tiles, ts)
-        valid = (iota < n).reshape(n_tiles, ts)    # pad sorts last
-        zmin = jnp.min(jnp.where(valid, skeys, jnp.inf), axis=1)
-        zmax = jnp.max(jnp.where(valid, skeys, -jnp.inf), axis=1)
+        skeys = keys[cache.perm].reshape(n_tiles, ts)
+        valid = (cache.perm < n).reshape(n_tiles, ts)
         nonempty = valid.any(axis=1)
-        c = 0.5 * (zmin + zmax)
-        r = 0.5 * (zmax - zmin)
-        d = jnp.abs(c[:, None] - c[None, :]) % lz
-        d = jnp.minimum(d, lz - d)
-        gap = d - r[:, None] - r[None, :]
+        two_pi = jnp.float32(2.0 * np.pi)
+        theta = skeys * (two_pi / lz)
+        sn = jnp.sum(jnp.where(valid, jnp.sin(theta), 0.0), axis=1)
+        cs = jnp.sum(jnp.where(valid, jnp.cos(theta), 0.0), axis=1)
+        cmean = jnp.arctan2(sn, cs) * (lz / two_pi)            # (n_tiles,)
+        dev = jnp.mod(skeys - cmean[:, None] + 0.5 * lz, lz) - 0.5 * lz
+        lo = jnp.min(jnp.where(valid, dev, jnp.inf), axis=1)
+        hi = jnp.max(jnp.where(valid, dev, -jnp.inf), axis=1)
+        width_bad = (hi - lo) > 0.5 * lz                       # degenerate
+        delta = jnp.mod(cmean[None, :] - cmean[:, None] + 0.5 * lz,
+                        lz) - 0.5 * lz                          # signed j-i
+        gap = jnp.where(delta >= 0,
+                        delta - hi[:, None] + lo[None, :],
+                        -delta - hi[None, :] + lo[:, None])
         off = (np.arange(n_tiles)[None, :]
                - np.arange(n_tiles)[:, None]) % n_tiles
         covered = np.minimum(off, n_tiles - off) <= band_w
-        bad = (~covered) & (gap <= r_cutoff) \
+        bad = (~covered) & ((gap <= r_cutoff) | width_bad[:, None]
+                            | width_bad[None, :]) \
             & nonempty[:, None] & nonempty[None, :]
         flag = bad.any()
+    else:
+        q2d, ab, bits2d, onehot2d, grows, gonehot2d = _padded_statics(
+            n, pad, charges, tables)
+        oid2d = iota.reshape(-1, 1)
+        qT = q2d.T
+        bitsT = bits2d.T
+        oidT = oid2d.T
+        onehotT = onehot2d.T
+        gonehotT = gonehot2d.T
 
     posT = pos2d.T
-    qT = q2d.T
-    bitsT = bits2d.T
-    oidT = oid2d.T
-    onehotT = onehot2d.T
-    gonehotT = gonehot2d.T
 
     if symmetric:
         rows, colacc = _run_tri(pos2d, q2d, ab, bits2d, oid2d, grows, posT,

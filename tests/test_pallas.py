@@ -107,6 +107,30 @@ def test_pallas_banded_matches_dense(want_energy):
                                rtol=1e-3, atol=5e-2)
 
 
+def test_pallas_banded_stale_cache_matches_dense():
+    """A PairCache built from perturbed (stale) positions must still give
+    exact results — the kernel tests exclusions by original index and the
+    coverage check runs on current positions."""
+    rng = np.random.default_rng(5)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl)
+    beta, rc = 2.2, 1.2
+    pos = jnp.asarray(pos, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    stale_pos = pos + jnp.asarray(
+        rng.normal(0, 0.03, pos.shape), jnp.float32)
+    cache = pallas_pair.make_pair_cache(stale_pos, box, q, tables, ts=128)
+    e1 = allpairs.direct_space_dense(pos, box, q, tables, beta, rc, 256)
+    e2 = pallas_pair.direct_space_pallas(pos, box, q, tables, beta, rc,
+                                         ts=128, interpret=True, band_w=3,
+                                         cache=cache)
+    for x, y in zip(e1[:3], e2[:3]):
+        # a stale sort changes f32 summation order; allow a small atol
+        np.testing.assert_allclose(float(y), float(x), rtol=5e-5, atol=0.05)
+    np.testing.assert_allclose(np.asarray(e2[3]), np.asarray(e1[3]),
+                               rtol=1e-3, atol=5e-2)
+
+
 def test_pallas_band_coverage_flag_poisons():
     """An undersized band width must poison the forces with NaN instead of
     silently dropping in-cutoff pairs."""
