@@ -62,11 +62,17 @@ class ForceEvaluator:
             self.band_w = int(np.ceil(band_atoms / pair_ts)) + 1
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
-            system.exclusions, system.lj_group, system.lj_group_allowed)
-        # per-term vmapped-autodiff tables (scatter-free bonded/Drude/Thole)
+            system.exclusions, system.lj_group, system.lj_group_allowed,
+            exc_idx=system.exc_idx, exc_qq=system.exc_qq,
+            exc_c6=system.exc_c6, exc_c12=system.exc_c12,
+            charges=system.charges)
+        # analytic sparse-term tables (scatter-free bonded/Drude/Thole);
+        # regular 1-4 exceptions live in the pair kernel (see
+        # allpairs.build_pair_tables), only irregular ones stay here
         self.analytic_drude_spring = bool(analytic_drude_spring)
         self.term_tables = term_forces.build_term_tables(
-            system, zero_iso_drude=self.analytic_drude_spring)
+            system, zero_iso_drude=self.analytic_drude_spring,
+            exc_keep_mask=self.pair_tables["exc_term_mask"])
 
     # -- virtual sites ----------------------------------------------------
     def place_vsites(self, pos):
@@ -125,16 +131,17 @@ class ForceEvaluator:
         pos = self.place_vsites(pos_raw)
 
         if self.pair_kernel == "pallas":
-            e_lj, e_coul_dir, e_corr, f_direct = \
+            e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
                 pallas_pair.direct_space_pallas(
                     pos, box, jnp.asarray(s.charges), self.pair_tables,
                     s.ewald_beta, s.r_cutoff, ts=self.pair_ts,
                     band_w=self.band_w, want_energy=want_energy,
                     cache=pair_cache)
         else:
-            e_lj, e_coul_dir, e_corr, f_direct = allpairs.direct_space_dense(
-                pos, box, jnp.asarray(s.charges), self.pair_tables,
-                s.ewald_beta, s.r_cutoff, row_block=self.row_block)
+            e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
+                allpairs.direct_space_dense(
+                    pos, box, jnp.asarray(s.charges), self.pair_tables,
+                    s.ewald_beta, s.r_cutoff, row_block=self.row_block)
 
         (e_smooth, terms), grad_smooth = jax.value_and_grad(
             self._smooth_energy, has_aux=True)(pos, box)
@@ -156,6 +163,10 @@ class ForceEvaluator:
         for name in ("bond", "angle", "urey_bradley", "dihedral", "improper",
                      "drude", "thole", "exception_coul", "exception_lj"):
             terms[name] = term_energies.get(name, jnp.zeros((), pos.dtype))
+        # kernel-handled 1-4 exceptions (+ any irregular ones from the term
+        # pass already in exception_coul/lj above)
+        terms["exception_coul"] = terms["exception_coul"] + e14c
+        terms["exception_lj"] = terms["exception_lj"] + e14l
         terms["lj"] = e_lj
         terms["coul_direct"] = e_coul_dir
         terms["coul_excl_corr"] = e_corr

@@ -39,7 +39,9 @@ MAX_EXCL_OFFSET = 31
 
 
 def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
-                      lj_group=None, lj_group_allowed=None):
+                      lj_group=None, lj_group_allowed=None,
+                      exc_idx=None, exc_qq=None, exc_c6=None, exc_c12=None,
+                      charges=None):
     """Host-side static tables for the dense kernel.
 
     Returns dict with:
@@ -48,6 +50,18 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
       excl_bits:    (N,)  i32   bit d set => atom (i+d) is excluded, d in 1..31
       residual:     (R,2) i32   excluded pairs with offset > 31 (adjust path)
       grows/gonehot: optional (N,G) for interaction-group masking
+      exc14_bits:   (N,)  i32   bit d set => (i, i+d) is a kernel-handled 1-4
+      a14rows/b14rows: (N,T) f32 1-4 LJ table rows (zero when absent)
+      exc_term_mask: (N,XA) bool  exceptions left to the sparse term pass
+
+    When the per-atom exception tables are passed, every *regular* 1-4
+    exception — Coulomb exactly 0.5 q_i q_j and LJ consistent with a single
+    per-type-pair (a14, b14) table (CHARMM rmin_14/eps_14 geometric rule,
+    reference oplspsffile.py:1408-1427) — within the 31-offset window is
+    folded into the pair sweep itself: the pair is already visited on the
+    exclusion-correction path, so the scaled Coulomb + 1-4 LJ cost two table
+    matmuls and a few VPU ops instead of a separate gather/scatter pass.
+    Irregular or distant exceptions stay in the sparse term pass.
     """
     lj_type = np.asarray(lj_type)
     acoef = np.asarray(acoef, np.float64)
@@ -123,9 +137,63 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
         end = max(end, int(reach[i]))
         cluster_ref[i] = start
 
+    # ---- kernel-handled 1-4 exceptions ----
+    exc14_bits = np.zeros(n_atoms, np.uint32)
+    a14 = np.zeros((T, T), np.float64)
+    b14 = np.zeros((T, T), np.float64)
+    exc_term_mask = None
+    if exc_idx is not None and np.asarray(exc_idx).size:
+        exc_idx = np.asarray(exc_idx)
+        exc_qq = np.asarray(exc_qq, np.float64)
+        exc_c6 = np.asarray(exc_c6, np.float64)
+        exc_c12 = np.asarray(exc_c12, np.float64)
+        q = np.asarray(charges, np.float64)
+        exc_term_mask = exc_idx >= 0
+        seen = np.zeros((T, T), bool)
+        for i in range(n_atoms):
+            for k in range(exc_idx.shape[1]):
+                j = int(exc_idx[i, k])
+                if j < 0 or j <= i:
+                    continue
+                qq, c6, c12 = exc_qq[i, k], exc_c6[i, k], exc_c12[i, k]
+                if qq == 0.0 and c6 == 0.0 and c12 == 0.0:
+                    # pure exclusion (lone-pair / Drude attachments): the
+                    # exclusion bitmask already covers it — drop the term
+                    kk = np.where(exc_idx[j] == i)[0]
+                    exc_term_mask[i, k] = False
+                    exc_term_mask[j, kk] = False
+                    continue
+                qq_reg = 0.5 * ONE_4PI_EPS0 * q[i] * q[j]
+                regular = abs(qq - qq_reg) <= 1e-5 * max(abs(qq_reg), 1e-6)
+                ti, tj = int(lj_type[i]), int(lj_type[j])
+                av, bv = np.sqrt(max(c12, 0.0)), c6
+                if regular and seen[ti, tj]:
+                    regular = (abs(a14[ti, tj] - av)
+                               <= 1e-5 * max(a14[ti, tj], 1e-12)
+                               and abs(b14[ti, tj] - bv)
+                               <= 1e-5 * max(abs(b14[ti, tj]), 1e-12))
+                d = int(j) - i
+                if regular and 1 <= d <= MAX_EXCL_OFFSET:
+                    if not seen[ti, tj]:
+                        a14[ti, tj] = av
+                        a14[tj, ti] = av
+                        b14[ti, tj] = bv
+                        b14[tj, ti] = bv
+                        seen[ti, tj] = seen[tj, ti] = True
+                    exc14_bits[i] |= np.uint32(1 << d)
+                    kk = np.where(exc_idx[j] == i)[0]
+                    exc_term_mask[i, k] = False
+                    exc_term_mask[j, kk] = False
+    exc14_bits = exc14_bits.view(np.int32)
+
     out = dict(arows=arows, brows=brows, onehot=onehot,
                excl_bits=excl_bits, residual=residual,
                cluster_ref=cluster_ref,
+               exc14_bits=exc14_bits,
+               a14rows=a14[lj_type].astype(np.float32),
+               b14rows=b14[lj_type].astype(np.float32),
+               exc_term_mask=exc_term_mask,
+               has_exc14=bool((exc14_bits != 0).any()),
                grows=None, gonehot=None,
                factorized=bool(exact),
                sa=sa[lj_type].astype(np.float32),
@@ -144,13 +212,16 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
     return out
 
 
-def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask):
+def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask,
+                exc14_mask=None, a14=None, b14=None):
     """Shared LJ + Ewald-direct + exclusion-correction math.
 
     direct pairs:   E = a^2/r^12 - b/r^6 + qq erfc(beta r)/r
     excluded pairs: E = -qq erf(beta r)/r   (reciprocal-space correction;
                     finite at r -> 0, which Drude pairs approach)
-    Returns (e_lj, e_coul, e_corr, f_scalar).
+    1-4 exception pairs (kernel-handled, see build_pair_tables): additionally
+                    E = 0.5 qq/r + a14^2/r^12 - b14/r^6
+    Returns (e_lj, e_coul, e_corr, e14_coul, e14_lj, f_scalar).
     """
     in_range = direct_mask & (r2 < r_cutoff * r_cutoff)
     r2s = jnp.maximum(r2, 1e-10)
@@ -181,10 +252,21 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask):
     zero = jnp.zeros_like(e_lj)
     f_s = jnp.where(in_range, f_lj + f_coul, zero) \
         + jnp.where(corr_mask, f_corr, zero)
+    if exc14_mask is None:
+        e14_c = e14_l = zero
+    else:
+        e14_c = 0.5 * qq * inv_r
+        e14_12 = a14 * a14 * inv_r12
+        e14_6 = b14 * inv_r6
+        e14_l = e14_12 - e14_6
+        f14 = (e14_c + 12.0 * e14_12 - 6.0 * e14_6) * inv_r2
+        e14_c = jnp.where(exc14_mask, e14_c, zero)
+        e14_l = jnp.where(exc14_mask, e14_l, zero)
+        f_s = f_s + jnp.where(exc14_mask, f14, zero)
     return (jnp.where(in_range, e_lj, zero),
             jnp.where(in_range, e_coul, zero),
             jnp.where(corr_mask, e_corr, zero),
-            f_s)
+            e14_c, e14_l, f_s)
 
 
 def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
@@ -194,13 +276,15 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
     lj_mode: "einsum" computes pair LJ parameters by one-hot contraction
     over the type tables (measured faster on TPU); "factorized" uses the
     sqrt-product + per-class NBFIX correction (useful reference/fallback).
-    Returns (E_lj, E_coul_direct, E_excl_corr, F).
+    Returns (E_lj, E_coul_direct, E_excl_corr, E_exc14_coul, E_exc14_lj, F).
     """
     n = pos.shape[0]
     arows = jnp.asarray(tables["arows"])
     brows = jnp.asarray(tables["brows"])
     onehot = jnp.asarray(tables["onehot"])
     excl_bits = jnp.asarray(tables["excl_bits"])
+    has14 = tables.get("has_exc14", False)
+    exc14_bits = jnp.asarray(tables["exc14_bits"]) if has14 else None
     grows = tables["grows"]
     gonehot = tables["gonehot"]
     q = charges
@@ -221,6 +305,7 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
     col_id = jnp.arange(n, dtype=jnp.int32)[None, :]
     row_id_all = jnp.arange(n_pad, dtype=jnp.int32)
 
+    excl14_p = pad_rows(exc14_bits) if has14 else None
     factorized = tables["factorized"] and lj_mode == "factorized"
     if factorized:
         sa_all = jnp.asarray(tables["sa"])
@@ -232,11 +317,15 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
             [tables["sa"][:, None], tables["sb"][:, None],
              tables["corrA"], tables["corrB"]], axis=1).astype(np.float32)
     else:
-        ab_rows = np.stack([tables["arows"], tables["brows"]],
-                           axis=1).reshape(n, -1)
+        ab_rows = np.concatenate([tables["arows"], tables["brows"]],
+                                 axis=1).astype(np.float32)
+        if has14:
+            ab_rows = np.concatenate(
+                [ab_rows, tables["a14rows"], tables["b14rows"]],
+                axis=1).astype(np.float32)
 
     def block(args):
-        p_blk, q_blk, a_blk, g_blk, eb_blk, rid = args
+        p_blk, q_blk, a_blk, g_blk, eb_blk, eb14_blk, rid = args
         dr = minimum_image(p_blk[:, None, :] - pos[None, :, :], box)  # (B,N,3)
         r2 = jnp.sum(dr * dr, -1)
         delta = col_id - rid[:, None]                                 # (B,N)
@@ -248,6 +337,13 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
         excl |= (((excl_bits[None, :] >> dbwd) & 1) > 0) & (delta <= -1) & \
                 (delta >= -MAX_EXCL_OFFSET)
         alive = (delta != 0) & (rid[:, None] < n)
+        exc14 = None
+        if has14:
+            exc14 = (((eb14_blk[:, None] >> dfwd) & 1) > 0) & (delta >= 1) \
+                & (delta <= MAX_EXCL_OFFSET)
+            exc14 |= (((exc14_bits[None, :] >> dbwd) & 1) > 0) \
+                & (delta <= -1) & (delta >= -MAX_EXCL_OFFSET)
+            exc14 = exc14 & alive
         if factorized:
             # geometric rule is multiplicative; NBFIX rows add a per-class
             # correction — all elementwise, fuses into the pair sweep
@@ -265,32 +361,45 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
         else:
             T = onehot.shape[1]
             a = jnp.einsum("bt,nt->bn", a_blk[:, :T], onehot)
-            b = jnp.einsum("bt,nt->bn", a_blk[:, T:], onehot)
+            b = jnp.einsum("bt,nt->bn", a_blk[:, T:2 * T], onehot)
         if grows is not None:
             allowed = jnp.einsum("bg,ng->bn", g_blk, jnp.asarray(gonehot))
             a = a * allowed
             b = b * allowed
         qq = ONE_4PI_EPS0 * q_blk[:, None] * q[None, :]
-        e_lj, e_coul, e_corr, f_s = _pair_terms(
+        if has14:
+            T = onehot.shape[1]
+            a14 = jnp.einsum("bt,nt->bn",
+                             a_blk[:, 2 * T:3 * T], onehot)
+            b14 = jnp.einsum("bt,nt->bn", a_blk[:, 3 * T:], onehot)
+        else:
+            a14 = b14 = None
+        e_lj, e_coul, e_corr, e14c, e14l, f_s = _pair_terms(
             r2, qq, a, b, beta, r_cutoff,
-            direct_mask=alive & ~excl, corr_mask=alive & excl)
+            direct_mask=alive & ~excl, corr_mask=alive & excl,
+            exc14_mask=exc14, a14=a14, b14=b14)
         forces = jnp.sum(f_s[..., None] * dr, axis=1)                 # (B,3)
-        return forces, jnp.sum(e_lj), jnp.sum(e_coul), jnp.sum(e_corr)
+        return (forces, jnp.sum(e_lj), jnp.sum(e_coul), jnp.sum(e_corr),
+                jnp.sum(e14c), jnp.sum(e14l))
 
     ab_p = pad_rows(jnp.asarray(ab_rows))                             # (Np,W)
     if grows is not None:
         g_p = pad_rows(jnp.asarray(grows))
     else:
         g_p = jnp.zeros((n_pad, 1), jnp.float32)
-    f_blocks, e_lj_b, e_coul_b, e_corr_b = jax.lax.map(
+    e14_p = (excl14_p if has14 else jnp.zeros((n_pad,), jnp.int32))
+    f_blocks, e_lj_b, e_coul_b, e_corr_b, e14c_b, e14l_b = jax.lax.map(
         block, (pos_p.reshape(-1, B, 3), q_p.reshape(-1, B),
                 ab_p.reshape(-1, B, ab_p.shape[-1]),
                 g_p.reshape(-1, B, g_p.shape[-1]),
-                excl_p.reshape(-1, B), row_id_all.reshape(-1, B)))
+                excl_p.reshape(-1, B), e14_p.reshape(-1, B),
+                row_id_all.reshape(-1, B)))
     forces = f_blocks.reshape(n_pad, 3)[:n]
     e_lj = 0.5 * jnp.sum(e_lj_b)
     e_coul = 0.5 * jnp.sum(e_coul_b)
     e_corr = 0.5 * jnp.sum(e_corr_b)
+    e14_coul = 0.5 * jnp.sum(e14c_b)
+    e14_lj = 0.5 * jnp.sum(e14l_b)
 
     # residual excluded pairs (index offset > 31): the sweep treated them as
     # plain direct pairs; adjust to the excluded-pair form with identical
@@ -309,13 +418,10 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
             b = b * allowed
         qq = ONE_4PI_EPS0 * q[i] * q[j]
         ones = jnp.ones(r2.shape, bool)
-        e_lj_r, e_coul_r, e_corr_r, f_corr_only = _pair_terms(
+        _, _, e_corr_r, _, _, f_corr_only = _pair_terms(
             r2, qq, a, b, beta, r_cutoff, direct_mask=jnp.zeros_like(ones),
             corr_mask=ones)
-        _, e_coul_d, _, f_direct_only = _pair_terms(
-            r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
-            corr_mask=jnp.zeros_like(ones))
-        e_lj_d, _, _, _ = _pair_terms(
+        e_lj_d, e_coul_d, _, _, _, f_direct_only = _pair_terms(
             r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
             corr_mask=jnp.zeros_like(ones))
         e_lj = e_lj - jnp.sum(e_lj_d)
@@ -323,4 +429,4 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
         e_corr = e_corr + jnp.sum(e_corr_r)
         f_adj = (f_corr_only - f_direct_only)[:, None] * dr
         forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
-    return e_lj, e_coul, e_corr, forces
+    return e_lj, e_coul, e_corr, e14_coul, e14_lj, forces

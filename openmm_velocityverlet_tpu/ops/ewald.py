@@ -53,11 +53,20 @@ def ewald_parameters(r_cutoff: float, tolerance: float = 5e-4,
     return beta, kmax
 
 
-def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 4096):
-    """Exact k-space Ewald energy.  Differentiable; O(N * A*B*C) as matmuls."""
+def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0):
+    """Exact k-space Ewald energy.  Differentiable; O(N * A*B*C') as matmuls.
+
+    Conjugate symmetry S(-k) = S*(k) halves the grid: only kz >= 0 modes are
+    computed, with doubled weights (the kz = 0 plane keeps its canonical
+    (kx, ky) half-plane, also doubled).  The four real contractions of the
+    complex structure factor are fused into ONE (2AB, n) x (n, 2C') matmul —
+    bigger MXU tiles, one pass over the position-phase intermediates, no
+    chunking scan (``chunk`` is accepted for API compatibility and ignored;
+    the (n, A, B) intermediate streams through HBM at ~13 MB per 20k atoms).
+    """
     ax = jnp.arange(-kmax[0], kmax[0] + 1, dtype=jnp.float32)
     ay = jnp.arange(-kmax[1], kmax[1] + 1, dtype=jnp.float32)
-    az = jnp.arange(-kmax[2], kmax[2] + 1, dtype=jnp.float32)
+    az = jnp.arange(0, kmax[2] + 1, dtype=jnp.float32)        # kz >= 0 half
     A, B, C = ax.shape[0], ay.shape[0], az.shape[0]
     two_pi = 2.0 * PI
     kx = two_pi * ax / box[0]
@@ -65,47 +74,38 @@ def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 4096):
     kz = two_pi * az / box[2]
     k2 = (kx[:, None, None] ** 2 + ky[None, :, None] ** 2
           + kz[None, None, :] ** 2)
-    # full rectangular k-grid minus k=0; modes beyond the error-formula ball
-    # carry negligible weight and cost nothing extra inside the matmul.
     mask = k2 > 1e-10
     k2s = jnp.where(mask, k2, 1.0)
     w = jnp.where(mask, jnp.exp(-k2s / (4.0 * beta * beta)) / k2s, 0.0)
+    # half-space weights: x2 everywhere except that the kz=0 plane only
+    # keeps its canonical (ky > 0) | (ky == 0 & kx > 0) half (also x2)
+    nx = np.arange(-kmax[0], kmax[0] + 1)
+    ny = np.arange(-kmax[1], kmax[1] + 1)
+    plane_half = (ny[None, :] > 0) | ((ny[None, :] == 0) & (nx[:, None] > 0))
+    wfac = np.full((A, B, C), 2.0, np.float32)
+    wfac[:, :, 0] = np.where(plane_half, 2.0, 0.0)
+    w = w * wfac
 
-    n = pos.shape[0]
-    csize = min(chunk, n)
-    n_pad = ((n + csize - 1) // csize) * csize
-    pos_p = jnp.concatenate([pos, jnp.zeros((n_pad - n, 3), pos.dtype)])
-    q_p = jnp.concatenate([charges, jnp.zeros((n_pad - n,), charges.dtype)])
-
-    def chunk_S(carry, inputs):
-        # complex arithmetic expanded into real f32 matmuls: four
-        # (A*B, n) x (n, C) contractions hit the MXU directly (complex64
-        # einsum lowers to a slower decomposed form)
-        p, q = inputs
-        tx = p[:, 0:1] * kx[None, :]
-        ty = p[:, 1:2] * ky[None, :]
-        tz = p[:, 2:3] * kz[None, :]
-        cx, sx = jnp.cos(tx), jnp.sin(tx)                      # (n,A)
-        cy, sy = jnp.cos(ty), jnp.sin(ty)                      # (n,B)
-        cz, sz = jnp.cos(tz), jnp.sin(tz)                      # (n,C)
-        qc = q[:, None, None]
-        re = qc * (cx[:, :, None] * cy[:, None, :]
-                   - sx[:, :, None] * sy[:, None, :])           # (n,A,B)
-        im = qc * (cx[:, :, None] * sy[:, None, :]
-                   + sx[:, :, None] * cy[:, None, :])
-        re2 = re.reshape(-1, A * B)
-        im2 = im.reshape(-1, A * B)
-        s_re = (jnp.einsum("nm,nc->mc", re2, cz)
-                - jnp.einsum("nm,nc->mc", im2, sz)).reshape(A, B, C)
-        s_im = (jnp.einsum("nm,nc->mc", re2, sz)
-                + jnp.einsum("nm,nc->mc", im2, cz)).reshape(A, B, C)
-        acc_re, acc_im = carry
-        return (acc_re + s_re, acc_im + s_im), None
-
-    S0 = (jnp.zeros((A, B, C), jnp.float32),
-          jnp.zeros((A, B, C), jnp.float32))
-    (S_re, S_im), _ = jax.lax.scan(
-        chunk_S, S0, (pos_p.reshape(-1, csize, 3), q_p.reshape(-1, csize)))
+    tx = pos[:, 0:1] * kx[None, :]
+    ty = pos[:, 1:2] * ky[None, :]
+    tz = pos[:, 2:3] * kz[None, :]
+    cx, sx = jnp.cos(tx), jnp.sin(tx)                          # (n,A)
+    cy, sy = jnp.cos(ty), jnp.sin(ty)                          # (n,B)
+    cz, sz = jnp.cos(tz), jnp.sin(tz)                          # (n,C)
+    qc = charges[:, None, None]
+    re = qc * (cx[:, :, None] * cy[:, None, :]
+               - sx[:, :, None] * sy[:, None, :])               # (n,A,B)
+    im = qc * (cx[:, :, None] * sy[:, None, :]
+               + sx[:, :, None] * cy[:, None, :])
+    X = jnp.concatenate([re.reshape(-1, A * B),
+                         im.reshape(-1, A * B)], axis=1)        # (n,2AB)
+    Y = jnp.concatenate([cz, sz], axis=1)                       # (n,2C)
+    M = jnp.einsum("nm,nc->mc", X, Y,
+                   preferred_element_type=jnp.float32)          # (2AB,2C)
+    rc_, rs_ = M[:A * B, :C], M[:A * B, C:]
+    ic_, is_ = M[A * B:, :C], M[A * B:, C:]
+    S_re = (rc_ - is_).reshape(A, B, C)
+    S_im = (rs_ + ic_).reshape(A, B, C)
     vol = box[0] * box[1] * box[2]
     e = (ONE_4PI_EPS0 * 2.0 * PI / vol
          * jnp.sum(w * (S_re * S_re + S_im * S_im)))

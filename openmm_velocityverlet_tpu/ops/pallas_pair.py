@@ -32,6 +32,46 @@ _SQRT_PI = 1.7724538509055159
 MAX_EXCL_OFFSET = 31
 
 
+@functools.lru_cache(maxsize=8)
+def _pfit(beta: float, r_cutoff: float, deg: int = 10):
+    """Chebyshev fit of P(u) on u in [0, (1.05 beta rc)^2], where the Ewald
+    direct/correction forces take the div/exp/erfc-free forms
+
+        f_c = qq (1/r^3 + beta^3 P(u)),   f_x = qq beta^3 P(u),   u = beta^2 r^2
+
+    via G(x) = erfc(x) + (2/sqrt(pi)) x exp(-x^2) = 1 + x^3 P(x^2).  The
+    small-u branch uses the series of P (the direct formula cancels
+    catastrophically below u ~ 0.25).  f32 Horner error ~5e-6 absolute on a
+    P range of -0.75..-0.05 — far below pairwise force noise.  Valid for
+    every in-cutoff pair and every excluded (intramolecular) pair; beyond
+    1.05 rc the result is masked (direct) or physically unreachable
+    (exclusions span < 0.7 nm)."""
+    import math as _m
+    umax = (1.05 * beta * r_cutoff) ** 2
+    u = np.linspace(0.0, umax, 40001)
+    x = np.sqrt(u)
+    big = u > 0.25
+    with np.errstate(divide="ignore", invalid="ignore"):
+        try:
+            from scipy.special import erfc as _erfc
+            gm1 = _erfc(x) + 2.0 / _SQRT_PI * x * np.exp(-u) - 1.0
+        except ImportError:
+            _e = np.vectorize(_m.erfc)
+            gm1 = _e(x) + 2.0 / _SQRT_PI * x * np.exp(-u) - 1.0
+        p_big = np.where(big, gm1 / np.maximum(x * u, 1e-300), 0.0)
+    acc = np.zeros_like(u)
+    term = np.ones_like(u)
+    for n_ in range(30):
+        acc = acc + term / (2 * n_ + 3)
+        term = term * (-u) / (n_ + 1)
+    p_small = -(4.0 / _SQRT_PI) * acc
+    pex = np.where(big, p_big, p_small)
+    c = np.polynomial.chebyshev.Chebyshev.fit(
+        u, pex, deg, domain=[0, umax]).convert(
+        kind=np.polynomial.Polynomial).coef
+    return tuple(float(v) for v in c)
+
+
 class PairCache(NamedTuple):
     """Carried z-sort state for the banded sweep: the permutation plus every
     permuted static table (row layout and pre-transposed column layout), so
@@ -42,11 +82,13 @@ class PairCache(NamedTuple):
     perm: jnp.ndarray        # (n_pad,) i32 sorted position -> original index
     invperm: jnp.ndarray     # (n_pad,) i32
     q2d: jnp.ndarray         # (n_pad,1) f32 sorted charges
-    ab: jnp.ndarray          # (n_pad,2T) f32 sorted LJ rows
+    ab: jnp.ndarray          # (n_pad,2T or 4T) f32 sorted LJ (+1-4) rows
     bits2d: jnp.ndarray      # (n_pad,1) i32 sorted exclusion masks
+    bits14_2d: jnp.ndarray   # (n_pad,1) i32 sorted 1-4 exception masks
     grows: jnp.ndarray       # (n_pad,G) f32 sorted group rows
     qT: jnp.ndarray          # (1,n_pad)
     bitsT: jnp.ndarray       # (1,n_pad) i32
+    bits14T: jnp.ndarray     # (1,n_pad) i32
     oidT: jnp.ndarray        # (1,n_pad) i32 original indices
     onehotT: jnp.ndarray     # (T,n_pad)
     gonehotT: jnp.ndarray    # (G,n_pad)
@@ -54,14 +96,21 @@ class PairCache(NamedTuple):
 
 def _padded_statics(n, pad, charges, tables):
     """Padded, original-order static row arrays."""
+    has14 = tables.get("has_exc14", False)
     q2d = jnp.concatenate(
         [charges.reshape(-1, 1), jnp.zeros((pad, 1), jnp.float32)], axis=0)
-    ab = np.concatenate([tables["arows"], tables["brows"]],
-                        axis=1).astype(np.float32)
+    parts = [tables["arows"], tables["brows"]]
+    if has14:
+        parts += [tables["a14rows"], tables["b14rows"]]
+    ab = np.concatenate(parts, axis=1).astype(np.float32)
     ab = jnp.concatenate(
         [jnp.asarray(ab), jnp.zeros((pad, ab.shape[1]), jnp.float32)], axis=0)
     bits2d = jnp.concatenate(
         [jnp.asarray(tables["excl_bits"]).reshape(-1, 1),
+         jnp.zeros((pad, 1), jnp.int32)], axis=0)
+    bits14_2d = jnp.concatenate(
+        [jnp.asarray(tables["exc14_bits"] if has14 else
+                     np.zeros(n, np.int32)).reshape(-1, 1),
          jnp.zeros((pad, 1), jnp.int32)], axis=0)
     onehot2d = jnp.concatenate(
         [jnp.asarray(tables["onehot"]),
@@ -77,7 +126,7 @@ def _padded_statics(n, pad, charges, tables):
     else:
         grows = jnp.zeros((n + pad, 1), jnp.float32)
         gonehot2d = jnp.zeros((n + pad, 1), jnp.float32)
-    return q2d, ab, bits2d, onehot2d, grows, gonehot2d
+    return q2d, ab, bits2d, bits14_2d, onehot2d, grows, gonehot2d
 
 
 def make_pair_cache(pos, box, charges, tables, ts: int = 512) -> PairCache:
@@ -94,15 +143,18 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512) -> PairCache:
                             jnp.full((pad,), 1e30, jnp.float32)])
     _, perm = jax.lax.sort((keys, iota), num_keys=2)
     invperm = jnp.zeros((n_pad,), jnp.int32).at[perm].set(iota)
-    q2d, ab, bits2d, onehot2d, grows, gonehot2d = _padded_statics(
+    q2d, ab, bits2d, bits14_2d, onehot2d, grows, gonehot2d = _padded_statics(
         n, pad, charges, tables)
     q2d = q2d[perm]
     ab = ab[perm]
     bits2d = bits2d[perm]
+    bits14_2d = bits14_2d[perm]
     grows = grows[perm]
     return PairCache(
         perm=perm, invperm=invperm, q2d=q2d, ab=ab, bits2d=bits2d,
+        bits14_2d=bits14_2d,
         grows=grows, qT=q2d.reshape(1, -1), bitsT=bits2d.reshape(1, -1),
+        bits14T=bits14_2d.reshape(1, -1),
         oidT=perm.reshape(1, -1), onehotT=onehot2d[perm].T,
         gonehotT=gonehot2d[perm].T)
 
@@ -116,7 +168,7 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
     row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     bits_rows = bits_rows_ref[:, :]                   # (tm,1) i32
     a_rows = ab_rows_ref[:, :t_dim]                   # (tm,T)
-    b_rows = ab_rows_ref[:, t_dim:]
+    b_rows = ab_rows_ref[:, t_dim:2 * t_dim]
     px = pos_rows_ref[:, 0:1]
     py = pos_rows_ref[:, 1:2]
     pz = pos_rows_ref[:, 2:3]
@@ -215,10 +267,11 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
 
 
 def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
-                     oid_rows_ref, grows_ref, posT_ref, qT_ref, onehotT_ref,
-                     bitsT_ref, oidT_ref, gonehotT_ref, box_ref, rows_ref,
+                     bits14_rows_ref, oid_rows_ref, grows_ref, posT_ref,
+                     qT_ref, onehotT_ref, bitsT_ref, bits14T_ref, oidT_ref,
+                     gonehotT_ref, box_ref, rows_ref,
                      colacc_ref, *, n, ts, beta, r_cutoff, t_dim, use_groups,
-                     mode, want_energy):
+                     mode, want_energy, has14, pcoef):
     """Upper-triangle tile sweep: Newton's third law halves the pair work.
 
     TPU grid execution is sequential, so output blocks revisited across the
@@ -280,7 +333,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)
         col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
         a_rows = ab_rows_ref[:, :t_dim]
-        b_rows = ab_rows_ref[:, t_dim:]
+        b_rows = ab_rows_ref[:, t_dim:2 * t_dim]
         px = pos_rows_ref[:, 0:1]
         py = pos_rows_ref[:, 1:2]
         pz = pos_rows_ref[:, 2:3]
@@ -319,6 +372,13 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
                     (delta >= -MAX_EXCL_OFFSET)
             alive = alive & (delta != 0)
+            if has14:
+                b14_rows = bits14_rows_ref[:, :]
+                b14_col = bits14T_ref[:, pl.ds(col0, ts)]
+                is14 = (((b14_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
+                       (delta <= MAX_EXCL_OFFSET)
+                is14 |= (((b14_col >> dbwd) & 1) > 0) & (delta <= -1) & \
+                        (delta >= -MAX_EXCL_OFFSET)
 
         onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
         a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
@@ -329,34 +389,58 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                               preferred_element_type=jnp.float32)
             a = a * allowed
             b = b * allowed
+        if test_excl and has14:
+            a14 = jnp.dot(ab_rows_ref[:, 2 * t_dim:3 * t_dim], onehot_c,
+                          preferred_element_type=jnp.float32)
+            b14 = jnp.dot(ab_rows_ref[:, 3 * t_dim:], onehot_c,
+                          preferred_element_type=jnp.float32)
         qq = ONE_4PI_EPS0 * qrow * qcol
 
         r2s = jnp.maximum(r2, 1e-10)
         inv_r = jax.lax.rsqrt(r2s)
         inv_r2 = inv_r * inv_r
-        r = r2s * inv_r
-        inv_r2_lj = 1.0 / jnp.maximum(r2, 1e-6)
+        inv_r2_lj = jnp.minimum(inv_r2, 1e6)
         inv_r6 = inv_r2_lj * inv_r2_lj * inv_r2_lj
         a12 = a * a * (inv_r6 * inv_r6)
         b6 = b * inv_r6
         e_lj = a12 - b6
         f_lj = (12.0 * a12 - 6.0 * b6) * inv_r2_lj
-        br = beta * r
-        expm = jnp.exp(-br * br)
-        t = 1.0 / (1.0 + 0.3275911 * br)
-        erfc_br = (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-                   + t * (-1.453152027 + t * 1.061405429))))) * expm
-        gauss = (2.0 * beta / _SQRT_PI) * expm
-        e_c = qq * erfc_br * inv_r
-        f_c = (e_c + qq * gauss) * inv_r2
         zero = jnp.zeros_like(r2)
+        if want_energy:
+            # exact erfc path (energy queries only; A&S 7.1.26)
+            r = r2s * inv_r
+            br = beta * r
+            expm = jnp.exp(-br * br)
+            t = 1.0 / (1.0 + 0.3275911 * br)
+            erfc_br = (t * (0.254829592 + t * (-0.284496736
+                       + t * (1.421413741 + t * (-1.453152027
+                       + t * 1.061405429))))) * expm
+            gauss = (2.0 * beta / _SQRT_PI) * expm
+            e_c = qq * erfc_br * inv_r
+            f_c = (e_c + qq * gauss) * inv_r2
+            erf_inv_r = (1.0 - erfc_br) * inv_r
+            f_x = -qq * (erf_inv_r - gauss) * inv_r2
+        else:
+            # poly force path: no exp, no div, no erfc (see _pfit)
+            u = (beta * beta) * r2s
+            pp = jnp.float32(pcoef[-1])
+            for cof in pcoef[-2::-1]:
+                pp = pp * u + jnp.float32(cof)
+            w = qq * (beta * beta * beta) * pp
+            f_c = qq * inv_r * inv_r2 + w
+            f_x = w
         if test_excl:
             in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
             corr = alive & excl
-            erf_inv_r = (1.0 - erfc_br) * inv_r
-            f_x = -qq * (erf_inv_r - gauss) * inv_r2
             f_s = jnp.where(in_range, f_lj + f_c, zero) + \
                 jnp.where(corr, f_x, zero)
+            if has14:
+                pair14 = alive & is14
+                e14_c = 0.5 * qq * inv_r
+                e14_12 = a14 * a14 * (inv_r6 * inv_r6)
+                e14_6 = b14 * inv_r6
+                f14 = (e14_c + 12.0 * e14_12 - 6.0 * e14_6) * inv_r2
+                f_s = f_s + jnp.where(pair14, f14, zero)
         else:
             in_range = alive & (r2 < r_cutoff * r_cutoff)
             f_s = jnp.where(in_range, f_lj + f_c, zero)
@@ -378,9 +462,16 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                                    keepdims=True)
         else:
             elj = ecoul = ecorr = jnp.zeros((ts, 1), jnp.float32)
+        if want_energy and test_excl and has14:
+            half14 = jnp.where(i == j, 0.5, 1.0)
+            e14c_s = half14 * jnp.sum(jnp.where(pair14, e14_c, zero), axis=1,
+                                      keepdims=True)
+            e14l_s = half14 * jnp.sum(jnp.where(pair14, e14_12 - e14_6, zero),
+                                      axis=1, keepdims=True)
+        else:
+            e14c_s = e14l_s = jnp.zeros((ts, 1), jnp.float32)
         block = jnp.concatenate(
-            [fx, fy, fz, elj, ecoul, ecorr,
-             jnp.zeros((ts, 2), jnp.float32)], axis=1)
+            [fx, fy, fz, elj, ecoul, ecorr, e14c_s, e14l_s], axis=1)
         rows_ref[:, :] = rows_ref[:, :] + block
 
         @pl.when(jnp.logical_not(jnp.logical_and(test_excl, i == j)))
@@ -395,16 +486,18 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             colacc_ref[:, pl.ds(col0, ts)] = cur + upd
 
 
-def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
-              onehotT, bitsT, oidT, gonehotT, box, beta, r_cutoff, ts,
-              n_real, interpret, want_energy=True):
+def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
+              posT, qT, onehotT, bitsT, bits14T, oidT, gonehotT, box, beta,
+              r_cutoff, ts, n_real, t_dim, has14, interpret,
+              want_energy=True):
     n_pad = posT.shape[1]
     t2 = ab.shape[1]
     use_groups = gonehotT.shape[0] > 1
     kernel = functools.partial(
         _pair_tri_kernel, n=n_real, ts=ts, beta=beta, r_cutoff=r_cutoff,
-        t_dim=t2 // 2, use_groups=use_groups, mode=mode,
-        want_energy=want_energy)
+        t_dim=t_dim, use_groups=use_groups, mode=mode,
+        want_energy=want_energy, has14=has14,
+        pcoef=_pfit(float(beta), float(r_cutoff)))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -419,8 +512,11 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, grows.shape[1]), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -440,21 +536,28 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ),
         interpret=interpret,
-    )(pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT, bitsT, oidT,
-      gonehotT, box)
+        # the 1-4 exception path raises simultaneous (ts,ts) liveness past
+        # the default 16 MB scoped-vmem limit; v5e has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )(pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT, onehotT,
+      bitsT, bits14T, oidT, gonehotT, box)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "ts", "n_real",
-                                    "band_w", "want_energy", "interpret"))
-def _run_tri(pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT, bitsT,
-             oidT, gonehotT, box, beta, r_cutoff, ts, n_real, band_w=0,
+                                    "band_w", "t_dim", "has14",
+                                    "want_energy", "interpret"))
+def _run_tri(pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT,
+             onehotT, bitsT, bits14T, oidT, gonehotT, box, beta, r_cutoff,
+             ts, n_real, t_dim, has14, band_w=0,
              want_energy=True, interpret=False):
     n_pad = posT.shape[1]
     n_tiles = n_pad // ts
     banded = band_eligible(n_pad, ts, band_w)
-    args = (pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT, bitsT,
-            oidT, gonehotT, box, beta, r_cutoff, ts, n_real, interpret)
+    args = (pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT,
+            onehotT, bitsT, bits14T, oidT, gonehotT, box, beta, r_cutoff,
+            ts, n_real, t_dim, has14, interpret)
     if banded:
         return _tri_call("bandall", (n_tiles, band_w + 1), *args,
                          want_energy=want_energy)
@@ -561,8 +664,10 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         pos2d = pos2d[cache.perm]
         q2d, ab, bits2d, grows = cache.q2d, cache.ab, cache.bits2d, \
             cache.grows
+        bits14_2d = cache.bits14_2d
         oid2d = cache.perm.reshape(-1, 1)
         qT, bitsT, oidT = cache.qT, cache.bitsT, cache.oidT
+        bits14T = cache.bits14T
         onehotT, gonehotT = cache.onehotT, cache.gonehotT
 
         # coverage check on CURRENT positions: the circular z-interval gap
@@ -597,11 +702,12 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
             & nonempty[:, None] & nonempty[None, :]
         flag = bad.any()
     else:
-        q2d, ab, bits2d, onehot2d, grows, gonehot2d = _padded_statics(
-            n, pad, charges, tables)
+        q2d, ab, bits2d, bits14_2d, onehot2d, grows, gonehot2d = \
+            _padded_statics(n, pad, charges, tables)
         oid2d = iota.reshape(-1, 1)
         qT = q2d.T
         bitsT = bits2d.T
+        bits14T = bits14_2d.T
         oidT = oid2d.T
         onehotT = onehot2d.T
         gonehotT = gonehot2d.T
@@ -609,9 +715,13 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
     posT = pos2d.T
 
     if symmetric:
-        rows, colacc = _run_tri(pos2d, q2d, ab, bits2d, oid2d, grows, posT,
-                                qT, onehotT, bitsT, oidT, gonehotT, box_arr,
+        t_dim = int(np.asarray(tables["arows"]).shape[1])
+        has14 = bool(tables.get("has_exc14", False))
+        rows, colacc = _run_tri(pos2d, q2d, ab, bits2d, bits14_2d, oid2d,
+                                grows, posT, qT, onehotT, bitsT, bits14T,
+                                oidT, gonehotT, box_arr,
                                 float(beta), float(r_cutoff), ts, n,
+                                t_dim, has14,
                                 band_w=(band_w if use_band else 0),
                                 want_energy=want_energy,
                                 interpret=interpret)
@@ -623,12 +733,17 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         e_lj = jnp.sum(rows[:, 3])
         e_coul = jnp.sum(rows[:, 4])
         e_corr = jnp.sum(rows[:, 5])
+        e14_coul = jnp.sum(rows[:, 6])
+        e14_lj = jnp.sum(rows[:, 7])
         if use_band:
             poison = jnp.where(flag, jnp.float32(jnp.nan), jnp.float32(0.0))
             forces = forces + poison
             e_lj = e_lj + poison
             e_coul = e_coul + poison
     else:
+        if tables.get("has_exc14", False):
+            raise NotImplementedError(
+                "kernel-handled 1-4 exceptions require the symmetric sweep")
         fout = _run(pos2d, q2d, ab, bits2d, grows, posT, qT,
                     onehotT, bitsT, gonehotT, box_arr,
                     float(beta), float(r_cutoff), tm, tn, n, interpret)
@@ -636,6 +751,7 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         e_lj = 0.5 * jnp.sum(fout[:, 3])
         e_coul = 0.5 * jnp.sum(fout[:, 4])
         e_corr = 0.5 * jnp.sum(fout[:, 5])
+        e14_coul = e14_lj = jnp.zeros((), jnp.float32)
 
     # residual excluded pairs handled exactly as in allpairs (tiny list)
     res = tables["residual"]
@@ -657,10 +773,10 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
             b = b * allowed
         qq = ONE_4PI_EPS0 * charges[i] * charges[j]
         ones = jnp.ones(r2.shape, bool)
-        _, _, e_corr_r, f_corr_only = ap._pair_terms(
+        _, _, e_corr_r, _, _, f_corr_only = ap._pair_terms(
             r2, qq, a, b, beta, r_cutoff,
             direct_mask=jnp.zeros_like(ones), corr_mask=ones)
-        e_lj_d, e_coul_d, _, f_direct_only = ap._pair_terms(
+        e_lj_d, e_coul_d, _, _, _, f_direct_only = ap._pair_terms(
             r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
             corr_mask=jnp.zeros_like(ones))
         e_lj = e_lj - jnp.sum(e_lj_d)
@@ -668,4 +784,4 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         e_corr = e_corr + jnp.sum(e_corr_r)
         f_adj = (f_corr_only - f_direct_only)[:, None] * dr
         forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
-    return e_lj, e_coul, e_corr, forces
+    return e_lj, e_coul, e_corr, e14_coul, e14_lj, forces

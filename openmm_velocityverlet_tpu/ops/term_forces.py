@@ -236,7 +236,7 @@ _TERM_FNS = {
 }
 
 
-def build_term_tables(system, zero_iso_drude=False):
+def build_term_tables(system, zero_iso_drude=False, exc_keep_mask=None):
     """Host-side: per-term index/param arrays + the combined incidence table.
 
     Returns (terms, incidence, total_slots) where terms is a list of
@@ -300,6 +300,10 @@ def build_term_tables(system, zero_iso_drude=False):
         ii = np.repeat(np.arange(n_atoms), xa)
         jj = exc_idx.reshape(-1)
         keep = (jj >= 0) & (jj > ii)          # each exception once
+        if exc_keep_mask is not None:
+            # exceptions the pair kernel already handles (or that are pure
+            # exclusions) are dropped from the sparse pass
+            keep &= np.asarray(exc_keep_mask).reshape(-1)
         pe = np.stack([ii[keep], jj[keep]], -1).astype(np.int32)
         qq = np.asarray(s.exc_qq).reshape(-1)[keep].astype(np.float32)
         c6 = np.asarray(s.exc_c6).reshape(-1)[keep].astype(np.float32)

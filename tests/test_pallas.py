@@ -53,7 +53,7 @@ def test_pallas_matches_dense(use_groups, symmetric, bandwidth):
                                          symmetric=symmetric)
     for x, y in zip(e1[:3], e2[:3]):
         np.testing.assert_allclose(float(y), float(x), rtol=2e-5)
-    np.testing.assert_allclose(np.asarray(e2[3]), np.asarray(e1[3]),
+    np.testing.assert_allclose(np.asarray(e2[5]), np.asarray(e1[5]),
                                rtol=1e-3, atol=5e-2)
 
 
@@ -103,7 +103,7 @@ def test_pallas_banded_matches_dense(want_energy):
     if want_energy:
         for x, y in zip(e1[:3], e2[:3]):
             np.testing.assert_allclose(float(y), float(x), rtol=2e-5)
-    np.testing.assert_allclose(np.asarray(e2[3]), np.asarray(e1[3]),
+    np.testing.assert_allclose(np.asarray(e2[5]), np.asarray(e1[5]),
                                rtol=1e-3, atol=5e-2)
 
 
@@ -127,7 +127,7 @@ def test_pallas_banded_stale_cache_matches_dense():
     for x, y in zip(e1[:3], e2[:3]):
         # a stale sort changes f32 summation order; allow a small atol
         np.testing.assert_allclose(float(y), float(x), rtol=5e-5, atol=0.05)
-    np.testing.assert_allclose(np.asarray(e2[3]), np.asarray(e1[3]),
+    np.testing.assert_allclose(np.asarray(e2[5]), np.asarray(e1[5]),
                                rtol=1e-3, atol=5e-2)
 
 
@@ -140,4 +140,66 @@ def test_pallas_band_coverage_flag_poisons():
     out = pallas_pair.direct_space_pallas(
         jnp.asarray(pos, jnp.float32), box, jnp.asarray(q, jnp.float32),
         tables, 2.2, 1.2, ts=128, interpret=True, band_w=1)
-    assert not bool(np.isfinite(np.asarray(out[3])).all())
+    assert not bool(np.isfinite(np.asarray(out[5])).all())
+
+
+def test_pallas_exc14_matches_dense_and_term_pass():
+    """Kernel-handled 1-4 exceptions: pallas == dense == sparse-term-pass
+    reference, energies and forces."""
+    rng = np.random.default_rng(7)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    n = len(lj_type)
+    # build regular 1-4 exception tables: partner = +3 within each molecule
+    from openmm_velocityverlet_tpu.units import ONE_4PI_EPS0
+    a14t = a * 0.5
+    b14t = b * 0.6
+    pairs = [(m * 4, m * 4 + 3) for m in range(384)]
+    xa = 1
+    exc_idx = np.full((n, xa), -1, np.int32)
+    exc_qq = np.zeros((n, xa), np.float32)
+    exc_c6 = np.zeros((n, xa), np.float32)
+    exc_c12 = np.zeros((n, xa), np.float32)
+    for (i, j) in pairs:
+        ti, tj = lj_type[i], lj_type[j]
+        exc_idx[i, 0] = j
+        exc_idx[j, 0] = i
+        qq = ONE_4PI_EPS0 * 0.5 * q[i] * q[j]
+        exc_qq[i, 0] = exc_qq[j, 0] = qq
+        exc_c6[i, 0] = exc_c6[j, 0] = b14t[ti, tj]
+        exc_c12[i, 0] = exc_c12[j, 0] = a14t[ti, tj] ** 2
+    tables = allpairs.build_pair_tables(
+        n, lj_type, a, b, excl, exc_idx=exc_idx, exc_qq=exc_qq,
+        exc_c6=exc_c6, exc_c12=exc_c12, charges=q)
+    assert tables["has_exc14"]
+    assert not tables["exc_term_mask"].any()   # all folded into the kernel
+    beta, rc = 2.2, 1.2
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    d = allpairs.direct_space_dense(posj, box, qj, tables, beta, rc, 256)
+    p2 = pallas_pair.direct_space_pallas(posj, box, qj, tables, beta, rc,
+                                         ts=128, interpret=True, band_w=3)
+    for x, y in zip(d[:5], p2[:5]):
+        np.testing.assert_allclose(float(y), float(x), rtol=5e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(p2[5]), np.asarray(d[5]),
+                               rtol=1e-3, atol=5e-2)
+    # independent reference: the sparse term pass on the same exceptions
+    import dataclasses
+    from openmm_velocityverlet_tpu.ops import term_forces
+
+    class Sys:
+        pass
+    s_ = Sys()
+    s_.bonds = np.zeros((0, 2)); s_.ub_bonds = np.zeros((0, 2))
+    s_.angles = np.zeros((0, 3)); s_.dihedrals = np.zeros((0, 4))
+    s_.impropers = np.zeros((0, 4)); s_.drude_pairs = np.zeros((0, 2))
+    s_.thole_sites = np.zeros((0, 4))
+    s_.exc_idx = exc_idx; s_.exc_qq = exc_qq
+    s_.exc_c6 = exc_c6; s_.exc_c12 = exc_c12
+    s_.n_atoms = n
+    terms, inc, slots = term_forces.build_term_tables(s_)
+    es, f_ref = term_forces.energies_and_forces(
+        posj, jnp.asarray(box), terms, inc, slots)
+    np.testing.assert_allclose(float(d[3]), float(es["exception_coul"]),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(d[4]), float(es["exception_lj"]),
+                               rtol=1e-4, atol=1e-3)
