@@ -285,11 +285,12 @@ class Context:
             if has_ld and ld_as_force:
                 f = f + stepping.langevin_extra_force(vel, masses, key, data)
             if has_ef:
-                idx, fz = stepping.efield_extra_force(sysm.charges, data)
-                f = f.at[idx, 2].add(fz)
+                fz = stepping.efield_extra_force(sysm.charges, data)
+                f = f + fz[:, None] * np.asarray([0.0, 0.0, 1.0],
+                                                 np.float32)
             if has_cos:
-                f = f.at[:, 0].add(stepping.cos_extra_force(pos, masses, box,
-                                                            data))
+                fx = stepping.cos_extra_force(pos, masses, box, data)
+                f = f + fx[:, None] * np.asarray([1.0, 0.0, 0.0], np.float32)
             return f
 
         def thermostat(pos, vel, box, st: State):

@@ -58,7 +58,10 @@ class ForceEvaluator:
         if box_hint is not None and system.n_atoms > 0:
             lz = float(np.asarray(box_hint).reshape(-1)[2])
             per_nm = system.n_atoms / lz
-            band_atoms = (system.r_cutoff + 0.25) * per_nm * 1.15
+            # cutoff + 0.1 nm sort-staleness skin, 8% density-fluctuation
+            # slack, +1 tile for boundary quantization; the per-step
+            # coverage check poisons the run if this ever under-covers
+            band_atoms = (system.r_cutoff + 0.1) * per_nm * 1.08
             self.band_w = int(np.ceil(band_atoms / pair_ts)) + 1
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,

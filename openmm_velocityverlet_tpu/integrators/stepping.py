@@ -19,6 +19,36 @@ from .vv import TG_ATOM, TG_COM, TG_DRUDE, IntegratorData
 f32 = jnp.float32
 
 
+
+# ---------------------------------------------------- per-atom pair tables
+def _pair_atom_tables(pairs, n):
+    """Per-atom view of a disjoint (drude, parent) pair set: partner index,
+    +1/-1 orientation sign (first/second element), lowest-id of the pair
+    (for shared noise draws) and membership mask.
+
+    Scatters of per-pair results back into (N,3) arrays cost ~25 us each on
+    TPU (7 of them per step in the subset formulation); the per-atom form is
+    one partner row-gather plus elementwise math under a static mask, which
+    fuses into the surrounding step."""
+    pairs = np.asarray(pairs)
+    partner = np.arange(n, dtype=np.int32)
+    sign = np.zeros(n, np.float32)
+    lowid = np.arange(n, dtype=np.int32)
+    in_pair = np.zeros(n, bool)
+    if pairs.shape[0]:
+        d, p = pairs[:, 0], pairs[:, 1]
+        partner[d] = p
+        partner[p] = d
+        sign[d] = 1.0
+        sign[p] = -1.0
+        lo = np.minimum(d, p)
+        lowid[d] = lo
+        lowid[p] = lo
+        in_pair[d] = True
+        in_pair[p] = True
+    return partner, sign, lowid, in_pair
+
+
 # ---------------------------------------------------------------- kinetics
 def kinetic_energy(vel, masses):
     return 0.5 * jnp.sum(masses[:, None] * vel * vel)
@@ -90,21 +120,33 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
     s_atom, s_com, s_drude = factors[TG_ATOM], factors[TG_COM], factors[TG_DRUDE]
 
     # --- apply scale (scaleVelocity kernel, drudeNoseHoover.cu:157-209) ---
-    com_term = s_com * com[mol_id] if data.use_com_temp_group else 0.0
+    # per-atom formulation: for a pair atom i with partner j,
+    # v_i' = s_atom*cm + sign_i * s_drude * rel * m_j/(m_i+m_j) + s_com*vcom
+    # (identical for both pair members up to sign_i) — no scatters.
+    n = vel.shape[0]
+    com_term = s_com * com[mol_id] if data.use_com_temp_group else \
+        jnp.zeros((1, 1), vel.dtype)
+    masses_np = np.asarray(masses)
+    nh_normal_mask = np.zeros(n, bool)
+    if nn.shape[0]:
+        nh_normal_mask[np.asarray(nn)] = True
+    nh_normal_mask &= np.asarray(inv_masses) > 0
+    partner, psign, _, in_pair = _pair_atom_tables(data.nh_pairs, n)
     new_vel = vel
     if nn.shape[0]:
-        upd = s_atom * vel_rel[nn] + (com_term[nn] if data.use_com_temp_group else 0.0)
-        upd = jnp.where(inv_masses[nn][:, None] > 0, upd, vel[nn])
-        new_vel = new_vel.at[nn].set(upd)
+        upd = s_atom * vel_rel + com_term
+        new_vel = jnp.where(nh_normal_mask[:, None], upd, new_vel)
     if data.nh_pairs.shape[0]:
-        cm_s = s_atom * cm
-        rel_s = s_drude * rel
-        base_d = cm_s + rel_s * f2
-        base_p = cm_s - rel_s * f1
-        if data.use_com_temp_group:
-            base_d = base_d + com_term[d]
-            base_p = base_p + com_term[p]
-        new_vel = new_vel.at[d].set(base_d).at[p].set(base_p)
+        vp = vel_rel[partner]
+        mp = masses_np[partner]
+        mtot = masses_np + mp
+        fpart = (mp / np.maximum(mtot, 1e-30)).astype(np.float32)[:, None]
+        cm_a = (masses_np[:, None] * vel_rel + mp[:, None] * vp) \
+            / mtot[:, None]
+        rel_a = psign[:, None] * (vel_rel - vp)
+        upd = s_atom * cm_a + (s_drude * rel_a) * (psign[:, None] * fpart) \
+            + com_term
+        new_vel = jnp.where(in_pair[:, None], upd, new_vel)
     return new_vel, eta, eta_dot, eta_dotdot, ke2
 
 
@@ -123,24 +165,43 @@ def harmonic_pair_drift(pos, vel, data: IntegratorData, dt):
     dp = data.drude_pairs
     if dp.shape[0] == 0 or not data.analytic_drude_spring:
         return new_pos, vel
-    d, p = dp[:, 0], dp[:, 1]
-    f1 = data.pair_f1[:, None]
-    f2 = data.pair_f2[:, None]
-    w = data.pair_omega[:, None]
-    com = f1 * pos[d] + f2 * pos[p]
-    vcom = f1 * vel[d] + f2 * vel[p]
-    rel = pos[d] - pos[p]
-    vrel = vel[d] - vel[p]
+    # per-atom pair formulation (no scatters): both members compute the
+    # shared COM/relative solution; sign and m_partner/m_tot select their
+    # half (pos_i' = com' + sign_i * (m_partner/m_tot) * rel')
+    n = pos.shape[0]
+    partner, psign, _, in_pair = _pair_atom_tables(dp, n)
+    dnp = np.asarray(dp)
+    f1 = np.asarray(data.pair_f1)
+    f2 = np.asarray(data.pair_f2)
+    omega = np.zeros(n, np.float32)
+    fpart = np.zeros(n, np.float32)
+    omega[dnp[:, 0]] = np.asarray(data.pair_omega)
+    omega[dnp[:, 1]] = np.asarray(data.pair_omega)
+    fpart[dnp[:, 0]] = f2                 # drude uses f2 = m_p/m_tot
+    fpart[dnp[:, 1]] = f1                 # parent uses f1 = m_d/m_tot
+    fother = np.zeros(n, np.float32)      # weight of SELF in the COM
+    fother[dnp[:, 0]] = f1
+    fother[dnp[:, 1]] = f2
+    pp = pos[partner]
+    vp = vel[partner]
+    w = omega[:, None]
+    fo = fother[:, None]
+    fp = fpart[:, None]
+    sg = psign[:, None]
+    com = fo * pos + fp * pp
+    vcom = fo * vel + fp * vp
+    rel = sg * (pos - pp)
+    vrel = sg * (vel - vp)
     c = jnp.cos(w * dt)
     s = jnp.sin(w * dt)
-    inv_w = jnp.where(w > 0, 1.0 / jnp.maximum(w, 1e-12), dt)
+    inv_w = np.where(omega > 0, 1.0 / np.maximum(omega, 1e-12),
+                     dt).astype(np.float32)[:, None]
     rel2 = jnp.where(w > 0, c * rel + s * inv_w * vrel, rel + dt * vrel)
     vrel2 = jnp.where(w > 0, -w * s * rel + c * vrel, vrel)
     com2 = com + dt * vcom
-    new_pos = new_pos.at[d].set(com2 + f2 * rel2)
-    new_pos = new_pos.at[p].set(com2 - f1 * rel2)
-    vel = vel.at[d].set(vcom + f2 * vrel2)
-    vel = vel.at[p].set(vcom - f1 * vrel2)
+    mask = in_pair[:, None]
+    new_pos = jnp.where(mask, com2 + sg * fp * rel2, new_pos)
+    vel = jnp.where(mask, vcom + sg * fp * vrel2, vel)
     return new_pos, vel
 
 
@@ -157,32 +218,45 @@ def langevin_ou_update(vel, masses, key, data: IntegratorData):
     T_drude (same partition as addExtraForceDrudeLangevin).
     """
     dt = data.dt
+    n = vel.shape[0]
+    masses_np = np.asarray(masses)
     k1n, k1p = jax.random.split(key)
     if data.ld_normal.shape[0]:
-        idx = data.ld_normal
-        c1 = jnp.exp(-data.friction * dt)
-        m = masses[idx][:, None]
-        sig = jnp.sqrt(BOLTZ * data.temperature / m * (1.0 - c1 * c1))
-        xi = jax.random.normal(k1n, (idx.shape[0], 3), vel.dtype)
-        vel = vel.at[idx].set(c1 * vel[idx] + sig * xi)
+        # full-N masked update (scatter-free); draws for non-LD atoms are
+        # discarded by the mask
+        norm_mask = np.zeros(n, bool)
+        norm_mask[np.asarray(data.ld_normal)] = True
+        c1 = float(np.exp(-data.friction * dt))
+        sig = np.where(masses_np > 0,
+                       np.sqrt(BOLTZ * data.temperature
+                               / np.maximum(masses_np, 1e-30)
+                               * (1.0 - c1 * c1)), 0.0).astype(np.float32)
+        xi = jax.random.normal(k1n, (n, 3), vel.dtype)
+        vel = jnp.where(norm_mask[:, None],
+                        c1 * vel + sig[:, None] * xi, vel)
     if data.ld_pairs.shape[0]:
-        d, p = data.ld_pairs[:, 0], data.ld_pairs[:, 1]
-        m1, m2 = masses[d], masses[p]
-        mtot = (m1 + m2)[:, None]
-        mu = (m1 * m2 / (m1 + m2))[:, None]
-        f1 = m1[:, None] / mtot
-        f2 = m2[:, None] / mtot
-        cm = vel[d] * f1 + vel[p] * f2
-        rel = vel[d] - vel[p]
-        c1c = jnp.exp(-data.friction * dt)
-        c1r = jnp.exp(-data.drude_friction * dt)
-        xi = jax.random.normal(k1p, (d.shape[0], 2, 3), vel.dtype)
-        cm = c1c * cm + jnp.sqrt(
-            BOLTZ * data.temperature / mtot * (1.0 - c1c * c1c)) * xi[:, 0]
-        rel = c1r * rel + jnp.sqrt(
-            BOLTZ * data.drude_temperature / mu * (1.0 - c1r * c1r)) * xi[:, 1]
-        vel = vel.at[d].set(cm + f2 * rel)
-        vel = vel.at[p].set(cm - f1 * rel)
+        # per-atom pair formulation with the noise drawn once per pair
+        # (shared via the lower pair index)
+        partner, psign, lowid, in_pair = _pair_atom_tables(data.ld_pairs, n)
+        mp = masses_np[partner]
+        mtot = np.maximum(masses_np + mp, 1e-30)
+        mu = np.maximum(masses_np * mp / mtot, 1e-30)
+        fself = (masses_np / mtot).astype(np.float32)[:, None]
+        fpart = (mp / mtot).astype(np.float32)[:, None]
+        vp = vel[partner]
+        cm = fself * vel + fpart * vp
+        rel = psign[:, None] * (vel - vp)
+        c1c = float(np.exp(-data.friction * dt))
+        c1r = float(np.exp(-data.drude_friction * dt))
+        sig_cm = np.sqrt(BOLTZ * data.temperature / mtot
+                         * (1.0 - c1c * c1c)).astype(np.float32)[:, None]
+        sig_rel = np.sqrt(BOLTZ * data.drude_temperature / mu
+                          * (1.0 - c1r * c1r)).astype(np.float32)[:, None]
+        xi = jax.random.normal(k1p, (n, 2, 3), vel.dtype)[lowid]
+        cm = c1c * cm + sig_cm * xi[:, 0]
+        rel = c1r * rel + sig_rel * xi[:, 1]
+        vel = jnp.where(in_pair[:, None],
+                        cm + psign[:, None] * fpart * rel, vel)
     return vel
 
 
@@ -229,9 +303,11 @@ def efield_extra_force(charges, data: IntegratorData):
     efscale = field * AVOGADRO converts kJ/(nm e) -> kJ/(mol nm e)
     (CudaVVKernels.cpp:978)."""
     efscale = data.electric_field * AVOGADRO
-    idx = data.electrolyte
-    fz = efscale * charges[idx]
-    return idx, fz
+    n = charges.shape[0]
+    mask = np.zeros(n, np.float32)
+    mask[np.asarray(data.electrolyte)] = 1.0
+    fz = efscale * np.asarray(charges) * mask            # (N,) constant
+    return fz
 
 
 def cos_extra_force(pos, masses, box, data: IntegratorData):
@@ -250,7 +326,8 @@ def cos_velocity_bias(pos, vel, masses, box):
 def cos_shift_velocity(pos, vel, box, v_amp, sign):
     """v_x -> v_x + sign * V cos(2 pi z/Lz) (remove: sign=-1, restore: +1)."""
     c = jnp.cos(2.0 * PI * pos[:, 2] / box[2])
-    return vel.at[:, 0].add(sign * v_amp * c)
+    return vel + (sign * v_amp * c)[:, None] * np.asarray(
+        [1.0, 0.0, 0.0], np.float32)
 
 
 def inverse_viscosity(v_amp, box, masses, acceleration):
@@ -270,62 +347,64 @@ def apply_hardwall(pos, vel, masses, inv_masses, box, data: IntegratorData):
     into the wall with a thermal-velocity rescale."""
     if data.drude_pairs.shape[0] == 0 or data.max_drude_distance <= 0:
         return pos, vel
+    # Per-atom pair formulation (no scatters): every pair atom evaluates the
+    # shared bounce solution; sign/is_drude select its own update.
     dmax = data.max_drude_distance
-    hw_scale = jnp.sqrt(BOLTZ * data.drude_temperature)
+    hw_scale = float(np.sqrt(BOLTZ * data.drude_temperature))
     dt = data.dt
-    d, p = data.drude_pairs[:, 0], data.drude_pairs[:, 1]
-    delta = pos[d] - pos[p]          # no minimum image — reference uses raw
-    r = jnp.sqrt(jnp.sum(delta * delta, -1) + 1e-20)
-    viol = r > dmax
-    bond_dir = delta / r[:, None]
-    v1, v2 = vel[d], vel[p]
-    m1 = masses[d]
-    m2 = masses[p]
-    inv2 = inv_masses[p]
-    delta_r = r - dmax
-    dot1 = jnp.sum(v1 * bond_dir, -1)
-    vb1 = bond_dir * dot1[:, None]
-    vp1 = v1 - vb1
+    n = pos.shape[0]
+    partner, psign, _, in_pair = _pair_atom_tables(data.drude_pairs, n)
+    masses_np = np.asarray(masses)
+    m_self = masses_np[:, None]
+    m_part = masses_np[partner][:, None]
+    is_drude = (psign > 0)[:, None]
+    m_drude = np.where(is_drude, m_self, m_part)      # m1 in reference terms
+    # partner is massless (parent-side massless branch applies to the pair)
+    inv_np = np.asarray(inv_masses)
+    parent_massless = np.where(
+        is_drude[:, 0], inv_np[partner] == 0, inv_np == 0.0)[:, None]
 
-    # --- massless-parent branch (middle.cu:137-160) ---
+    pp = pos[partner]
+    vp = vel[partner]
+    delta = psign[:, None] * (pos - pp)   # pos_d - pos_p, both members
+    r = jnp.sqrt(jnp.sum(delta * delta, -1, keepdims=True) + 1e-20)
+    viol = (r > dmax) & in_pair[:, None]
+    bond_dir = delta / r
+    delta_r = r - dmax
+    dot_self = jnp.sum(vel * bond_dir, -1, keepdims=True)
+    dot_part = jnp.sum(vp * bond_dir, -1, keepdims=True)
+    dot1 = jnp.where(is_drude, dot_self, dot_part)    # drude projection
+    vperp = vel - bond_dir * dot_self
+
+    # --- massless-parent branch (middle.cu:137-160): parent unchanged ---
     dt1 = jnp.where(dot1 != 0, delta_r / jnp.abs(dot1 + 1e-20), dt)
     dt1 = jnp.minimum(dt1, dt)
-    new_dot1_a = -dot1 * hw_scale / (jnp.abs(dot1 + 1e-20) * jnp.sqrt(m1))
+    new_dot1_a = -dot1 * hw_scale / (jnp.abs(dot1 + 1e-20)
+                                     * np.sqrt(np.maximum(m_drude, 1e-30)))
     dr_a = -delta_r + dt1 * new_dot1_a
-    pos_d_a = pos[d] + bond_dir * dr_a[:, None]
-    vel_d_a = vp1 + bond_dir * new_dot1_a[:, None]
+    pos_a = pos + bond_dir * dr_a
+    vel_a = vperp + bond_dir * new_dot1_a
+    pos_a = jnp.where(is_drude, pos_a, pos)
+    vel_a = jnp.where(is_drude, vel_a, vel)
 
     # --- both-massive branch (middle.cu:161-213) ---
-    mtot = m1 + m2
-    inv_tot = 1.0 / mtot
-    dot2 = jnp.sum(v2 * bond_dir, -1)
-    vp2 = v2 - bond_dir * dot2[:, None]
-    vb_cm = (m1 * dot1 + m2 * dot2) * inv_tot
-    c1 = dot1 - vb_cm
-    c2 = dot2 - vb_cm
-    dt2 = jnp.where(c1 != c2, delta_r / jnp.abs(c1 - c2 + 1e-20), dt)
+    mtot = np.maximum(m_self + m_part, 1e-30)
+    c_self = dot_self - (m_self * dot_self + m_part * dot_part) / mtot
+    vb_cm = dot_self - c_self
+    c_other = dot_part - vb_cm
+    dt2 = jnp.where(c_self != c_other,
+                    delta_r / jnp.abs(c_self - c_other + 1e-20), dt)
     dt2 = jnp.minimum(dt2, dt)
-    v_bond = hw_scale / jnp.sqrt(m1)
-    nd1 = -c1 * v_bond * m2 * inv_tot / jnp.abs(c1 + 1e-20)
-    nd2 = -c2 * v_bond * m1 * inv_tot / jnp.abs(c2 + 1e-20)
-    dr1 = -delta_r * m2 * inv_tot + dt2 * nd1
-    dr2 = delta_r * m1 * inv_tot + dt2 * nd2
-    pos_d_b = pos[d] + bond_dir * dr1[:, None]
-    pos_p_b = pos[p] + bond_dir * dr2[:, None]
-    vel_d_b = vp1 + bond_dir * (nd1 + vb_cm)[:, None]
-    vel_p_b = vp2 + bond_dir * (nd2 + vb_cm)[:, None]
+    v_bond = hw_scale / np.sqrt(np.maximum(m_drude, 1e-30))
+    nd_self = -c_self * v_bond * (m_part / mtot) / jnp.abs(c_self + 1e-20)
+    dr_self = psign[:, None] * (-delta_r) * (m_part / mtot) + dt2 * nd_self
+    pos_b = pos + bond_dir * dr_self
+    vel_b = vperp + bond_dir * (nd_self + vb_cm)
 
-    massless = inv2 == 0
-    new_pos_d = jnp.where(massless[:, None], pos_d_a, pos_d_b)
-    new_vel_d = jnp.where(massless[:, None], vel_d_a, vel_d_b)
-    new_pos_p = jnp.where(massless[:, None], pos[p], pos_p_b)
-    new_vel_p = jnp.where(massless[:, None], vel[p], vel_p_b)
-
-    vm = viol[:, None]
-    pos = pos.at[d].set(jnp.where(vm, new_pos_d, pos[d]))
-    pos = pos.at[p].set(jnp.where(vm, new_pos_p, pos[p]))
-    vel = vel.at[d].set(jnp.where(vm, new_vel_d, vel[d]))
-    vel = vel.at[p].set(jnp.where(vm, new_vel_p, vel[p]))
+    new_pos = jnp.where(parent_massless, pos_a, pos_b)
+    new_vel = jnp.where(parent_massless, vel_a, vel_b)
+    pos = jnp.where(viol, new_pos, pos)
+    vel = jnp.where(viol, new_vel, vel)
     return pos, vel
 
 
@@ -335,11 +414,17 @@ def update_image_positions(pos, data: IntegratorData):
     (updateImagePositions, imageCharge.cu:2-28)."""
     if data.image_pairs.shape[0] == 0:
         return pos
-    img, par = data.image_pairs[:, 0], data.image_pairs[:, 1]
-    pp = pos[par]
-    new = jnp.stack([pp[:, 0], pp[:, 1],
-                     2.0 * data.mirror_location - pp[:, 2]], -1)
-    return pos.at[img].set(new)
+    # per-atom parent table (scatter-free): images gather their parent row
+    n = pos.shape[0]
+    ip = np.asarray(data.image_pairs)
+    parent_of = np.arange(n, dtype=np.int32)
+    parent_of[ip[:, 0]] = ip[:, 1]
+    is_img = np.zeros(n, bool)
+    is_img[ip[:, 0]] = True
+    pp = pos[parent_of]
+    new = jnp.concatenate(
+        [pp[:, 0:2], 2.0 * data.mirror_location - pp[:, 2:3]], axis=1)
+    return jnp.where(is_img[:, None], new, pos)
 
 
 # --------------------------------------------------- compensated updates

@@ -39,27 +39,33 @@ def test_sharded_step_matches_unsharded(drude_ctx):
     carry0 = ctx._make_carry()
     n_atoms = ctx.system.n_atoms
 
-    # unsharded reference trajectory (3 steps)
-    ref = carry0
+    # unsharded reference trajectory
     ref_fn = jax.jit(step)
-    for _ in range(3):
-        ref = ref_fn(ref)
+    ref1 = ref_fn(carry0)
+    ref3 = ref_fn(ref_fn(ref1))
 
     mesh = make_mesh(jax.devices()[:8])
     carry = shard_carry(carry0, mesh, n_atoms=n_atoms)
     fn = sharded_step(step, mesh, carry, n_atoms=n_atoms)
-    out = carry
-    for _ in range(3):
-        out = fn(out)
+    out1 = fn(carry)
+    out3 = fn(fn(out1))
 
-    assert tuple(out.state.pos.sharding.spec)[:1] == ("atoms",)
-    assert tuple(out.state.vel.sharding.spec)[:1] == ("atoms",)
-    np.testing.assert_allclose(np.asarray(out.state.pos),
-                               np.asarray(ref.state.pos), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out.state.vel),
-                               np.asarray(ref.state.vel), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.state.nh_eta),
-                               np.asarray(ref.state.nh_eta), atol=1e-5)
+    assert tuple(out3.state.pos.sharding.spec)[:1] == ("atoms",)
+    assert tuple(out3.state.vel.sharding.spec)[:1] == ("atoms",)
+    # one step: tight agreement isolates semantic divergence from the
+    # chaotic amplification of f32 reduction-order differences that the
+    # stiff Drude spring produces over multiple steps
+    np.testing.assert_allclose(np.asarray(out1.state.pos),
+                               np.asarray(ref1.state.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1.state.vel),
+                               np.asarray(ref1.state.vel), atol=1e-5)
+    # three steps: stays within the Lyapunov-amplified envelope
+    np.testing.assert_allclose(np.asarray(out3.state.pos),
+                               np.asarray(ref3.state.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out3.state.vel),
+                               np.asarray(ref3.state.vel), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out3.state.nh_eta),
+                               np.asarray(ref3.state.nh_eta), atol=1e-5)
 
 
 def test_carry_shardings_layout(drude_ctx):

@@ -250,9 +250,10 @@ def test_electric_field_force():
                   positions=np.array([[1.0, 1.0, 1.0], [3.0, 3.0, 3.0]]),
                   box=box)
     data = ctx.data
-    idx, fz = stepping.efield_extra_force(system.charges, data)
-    # 1 V/nm * 0.5 e = 0.5 * 96.485 kJ/mol/nm
-    np.testing.assert_allclose(np.asarray(fz), [0.5 * 96.4853], rtol=1e-4)
+    fz = stepping.efield_extra_force(system.charges, data)
+    # 1 V/nm * 0.5 e = 0.5 * 96.485 kJ/mol/nm; only the electrolyte particle
+    np.testing.assert_allclose(np.asarray(fz), [0.5 * 96.4853, 0.0],
+                               rtol=1e-4)
 
 
 def test_cosine_bias_and_viscosity_formula():
