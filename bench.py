@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
-"""Headline benchmark: bulk CLPol Drude ionic liquid (bulk_Im21, 9250 atoms
-incl. Drude particles), TGNH thermostat, 1 fs middle scheme, PME-accuracy
-Ewald electrostatics — the reference's own benchmark configuration
-(run-bulk.py --thermostat nose-hoover on examples/models/bulk_Im21).
+"""Headline benchmark: bulk CLPol Drude ionic liquid at the ~20k-atom driver
+target size (BASELINE.md: ">=100 ns/day, 20k-atom Drude IL, TGNH"), built by
+replicating the reference's bulk_ImO1 model (9,750 atoms incl. Drude) twice
+along z -> 19,500 atoms, TGNH thermostat, 1 fs middle scheme, PME-accuracy
+Ewald electrostatics.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline relative to the driver target of 100 ns/day (BASELINE.md).
+vs_baseline relative to the driver target of 100 ns/day.  The reference-size
+bulk_Im21 (9,250 atoms) number is printed to stderr for continuity with
+round-1 benchmarks.
 """
 import json
 import os
@@ -17,39 +20,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
+def run_config(model, factors, dt=0.001, steps=500):
+    import jax
     from openmm_velocityverlet_tpu import Context, VVIntegrator
     from openmm_velocityverlet_tpu.models.grofile import GroFile
     from openmm_velocityverlet_tpu.models.prmfile import CharmmParameterSet
     from openmm_velocityverlet_tpu.models.psffile import OplsPsfFile
+    from openmm_velocityverlet_tpu.models.replicate import replicate
 
-    d = "/root/reference/examples/models/bulk_Im21/"
+    d = f"/root/reference/examples/models/{model}/"
     gro = GroFile(d + "conf.gro")
     psf = OplsPsfFile(d + "topol.psf",
                       periodicBoxVectors=gro.getPeriodicBoxVectors())
     prm = CharmmParameterSet(d + "ff.prm")
     built = psf.createSystem(prm, nonbondedCutoff=1.2, constraints="HBonds",
                              rigidWater=True)
+    system, pos, box = built.system, gro.positions, gro.box
+    if factors != (1, 1, 1):
+        system, pos, box = replicate(system, pos, box, factors)
 
-    dt = 0.001
     integ = VVIntegrator(333, 10, 1, 40, dt)
     integ.setMaxDrudeDistance(0.02)
-    ctx = Context(built.system, integ, positions=gro.positions, box=gro.box)
+    ctx = Context(system, integ, positions=pos, box=box)
     ctx.set_velocities_to_temperature(333.0)
-
-    import jax
     ctx.step(20)  # compile + warm up
     jax.block_until_ready(ctx._carry.state.pos)
-    n = 500
     t0 = time.time()
-    ctx.step(n)
+    ctx.step(steps)
     jax.block_until_ready(ctx._carry.state.pos)
     elapsed = time.time() - t0
-    steps_per_s = n / elapsed
-    ns_day = steps_per_s * dt * 1e-3 * 86400.0
+    ns_day = steps / elapsed * dt * 1e-3 * 86400.0
     assert np.isfinite(ctx.kinetic_energy())
+    return system.n_atoms, ns_day
+
+
+def main():
+    n_small, small = run_config("bulk_Im21", (1, 1, 1))
+    print(f"bulk_Im21 ({n_small} atoms): {small:.2f} ns/day",
+          file=sys.stderr)
+    n, ns_day = run_config("bulk_ImO1", (1, 1, 2))
     print(json.dumps({
-        "metric": "bulk_Im21_drude_tgnh_ns_day",
+        "metric": f"bulk_ImO1x2_{n}atoms_drude_tgnh_ns_day",
         "value": round(ns_day, 2),
         "unit": "ns/day",
         "vs_baseline": round(ns_day / 100.0, 3),

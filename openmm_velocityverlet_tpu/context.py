@@ -55,7 +55,8 @@ class Context:
                  external_forces: Sequence = (),
                  barostat: Optional[baro_mod.BarostatConfig] = None,
                  positions=None, box=None, row_block: int = 1024,
-                 ewald_chunk: int = 4096, sort_refresh: int = 25, **_legacy):
+                 ewald_chunk: int = 4096, sort_refresh: int = 25,
+                 pair_ts: int = 0, **_legacy):
         # sort_refresh: steps between z-sort cache rebuilds for the banded
         # pair sweep (staleness is safe — the per-step coverage check runs
         # against current positions; 25 amortizes the ~0.33 ms device sort)
@@ -69,7 +70,7 @@ class Context:
         box = np.asarray(box, np.float32)
         self.evaluator = ForceEvaluator(
             system, external_forces, ewald_chunk=ewald_chunk,
-            row_block=row_block,
+            row_block=row_block, pair_ts=pair_ts,
             analytic_drude_spring=self.data.analytic_drude_spring,
             box_hint=box)
 

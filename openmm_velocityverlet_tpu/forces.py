@@ -38,7 +38,7 @@ class ForceEvaluator:
                  external_forces: Sequence[Callable] = (),
                  ewald_chunk: int = 16384, row_block: int = 1024,
                  pair_kernel: str = "auto", analytic_drude_spring=False,
-                 box_hint=None, pair_ts: int = 512):
+                 box_hint=None, pair_ts: int = 0):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
@@ -48,7 +48,10 @@ class ForceEvaluator:
             pair_kernel = ("pallas" if jax.default_backend() != "cpu"
                            else "dense")
         self.pair_kernel = pair_kernel
-        self.pair_ts = pair_ts
+        # measured on v5e: (512,512) tiles win below ~14k atoms, (768,768)
+        # above (fewer per-pass overheads outweigh the coarser z-band)
+        self.pair_ts = int(pair_ts) if pair_ts else (
+            768 if system.n_atoms >= 14000 else 512)
         # z-band width for the sorted Pallas sweep: tiles farther than
         # band_w in circular z order are provably beyond the cutoff.  Sized
         # from the mean linear atom density with 15% fluctuation slack plus
@@ -62,7 +65,7 @@ class ForceEvaluator:
             # slack, +1 tile for boundary quantization; the per-step
             # coverage check poisons the run if this ever under-covers
             band_atoms = (system.r_cutoff + 0.1) * per_nm * 1.08
-            self.band_w = int(np.ceil(band_atoms / pair_ts)) + 1
+            self.band_w = int(np.ceil(band_atoms / self.pair_ts)) + 1
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed,

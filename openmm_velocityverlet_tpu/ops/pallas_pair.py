@@ -389,11 +389,6 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                               preferred_element_type=jnp.float32)
             a = a * allowed
             b = b * allowed
-        if test_excl and has14:
-            a14 = jnp.dot(ab_rows_ref[:, 2 * t_dim:3 * t_dim], onehot_c,
-                          preferred_element_type=jnp.float32)
-            b14 = jnp.dot(ab_rows_ref[:, 3 * t_dim:], onehot_c,
-                          preferred_element_type=jnp.float32)
         qq = ONE_4PI_EPS0 * qrow * qcol
 
         r2s = jnp.maximum(r2, 1e-10)
@@ -436,11 +431,17 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                 jnp.where(corr, f_x, zero)
             if has14:
                 pair14 = alive & is14
+                a14 = jnp.dot(ab_rows_ref[:, 2 * t_dim:3 * t_dim], onehot_c,
+                              preferred_element_type=jnp.float32)
+                b14 = jnp.dot(ab_rows_ref[:, 3 * t_dim:], onehot_c,
+                              preferred_element_type=jnp.float32)
                 e14_c = 0.5 * qq * inv_r
                 e14_12 = a14 * a14 * (inv_r6 * inv_r6)
                 e14_6 = b14 * inv_r6
                 f14 = (e14_c + 12.0 * e14_12 - 6.0 * e14_6) * inv_r2
                 f_s = f_s + jnp.where(pair14, f14, zero)
+                e14_c_m = jnp.where(pair14, e14_c, zero)
+                e14_l_m = jnp.where(pair14, e14_12 - e14_6, zero)
         else:
             in_range = alive & (r2 < r_cutoff * r_cutoff)
             f_s = jnp.where(in_range, f_lj + f_c, zero)
@@ -464,10 +465,8 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             elj = ecoul = ecorr = jnp.zeros((ts, 1), jnp.float32)
         if want_energy and test_excl and has14:
             half14 = jnp.where(i == j, 0.5, 1.0)
-            e14c_s = half14 * jnp.sum(jnp.where(pair14, e14_c, zero), axis=1,
-                                      keepdims=True)
-            e14l_s = half14 * jnp.sum(jnp.where(pair14, e14_12 - e14_6, zero),
-                                      axis=1, keepdims=True)
+            e14c_s = half14 * jnp.sum(e14_c_m, axis=1, keepdims=True)
+            e14l_s = half14 * jnp.sum(e14_l_m, axis=1, keepdims=True)
         else:
             e14c_s = e14l_s = jnp.zeros((ts, 1), jnp.float32)
         block = jnp.concatenate(

@@ -305,10 +305,12 @@ def build_term_tables(system, zero_iso_drude=False, exc_keep_mask=None):
             # exclusions) are dropped from the sparse pass
             keep &= np.asarray(exc_keep_mask).reshape(-1)
         pe = np.stack([ii[keep], jj[keep]], -1).astype(np.int32)
-        qq = np.asarray(s.exc_qq).reshape(-1)[keep].astype(np.float32)
-        c6 = np.asarray(s.exc_c6).reshape(-1)[keep].astype(np.float32)
-        c12 = np.asarray(s.exc_c12).reshape(-1)[keep].astype(np.float32)
-        terms.append(("exception", pe, np.stack([qq, c6, c12], -1), None))
+        if pe.shape[0]:
+            qq = np.asarray(s.exc_qq).reshape(-1)[keep].astype(np.float32)
+            c6 = np.asarray(s.exc_c6).reshape(-1)[keep].astype(np.float32)
+            c12 = np.asarray(s.exc_c12).reshape(-1)[keep].astype(np.float32)
+            terms.append(("exception", pe,
+                          np.stack([qq, c6, c12], -1), None))
     if s.thole_sites.shape[0]:
         # prm = (qq, screen); idx = (d1,p1,d2,p2)
         ts = np.asarray(s.thole_sites, np.int32)
@@ -317,25 +319,25 @@ def build_term_tables(system, zero_iso_drude=False, exc_keep_mask=None):
         terms.append(("thole", ts, prm, None))
 
     n = s.n_atoms
-    entries = [[] for _ in range(n)]
-    offset = 0
+    # PER-TYPE incidence tables: each term type's flat contribution array
+    # (NT*P, 3) stays small enough to remain VMEM-resident during its
+    # per-column accumulation gathers — one global concatenated array stops
+    # fitting beyond ~10k atoms and every gather then degrades to random
+    # 12-byte HBM reads (measured 20-30x slower at 19.5k atoms).
+    incidences = []
+    total = 0
     for name, idx, prm, _split in terms:
         nt, p = idx.shape
+        total += nt * p
+        entries = [[] for _ in range(n)]
         for t in range(nt):
             for sl in range(p):
                 a = idx[t, sl]
                 if a >= 0:
-                    entries[a].append(offset + t * p + sl)   # term-major
-        offset += nt * p
-    # two-level incidence: a narrow primary table sized for the typical
-    # atom plus an overflow table for the few high-valence atoms (ring
-    # carbons).  K1 is chosen to minimize the total gathered row volume
-    # N*K1 + H(K1)*K2(K1) exactly (the gathers are the dominant cost of
-    # this pass on TPU).
-    counts = np.array([len(e) for e in entries], np.int32)
-    kmax = int(counts.max()) if n else 1
-    kmax = max(kmax, 1)
-    if n:
+                    entries[a].append(t * p + sl)            # term-major
+        counts = np.array([len(e) for e in entries], np.int32)
+        kmax = max(int(counts.max()) if n else 1, 1)
+        # split chosen to minimize exact gathered-row volume
         best, k1 = None, kmax
         for cand in range(1, kmax + 1):
             over = counts[counts > cand]
@@ -343,39 +345,38 @@ def build_term_tables(system, zero_iso_drude=False, exc_keep_mask=None):
                               if len(over) else 0)
             if best is None or vol < best:
                 best, k1 = vol, cand
-    else:
-        k1 = kmax
-    incidence = np.full((n, k1), -1, np.int32)
-    over_rows = []
-    over_atoms = []
-    for i, e in enumerate(entries):
-        incidence[i, :min(len(e), k1)] = e[:k1]
-        if len(e) > k1:
-            over_atoms.append(i)
-            over_rows.append(e[k1:])
-    if over_rows:
-        k2 = max(len(r) for r in over_rows)
-        overflow = np.full((len(over_rows), k2), -1, np.int32)
-        for r, e in enumerate(over_rows):
-            overflow[r, :len(e)] = e
-        over_atoms = np.asarray(over_atoms, np.int32)
-    else:
-        overflow = np.zeros((0, 1), np.int32)
-        over_atoms = np.zeros((0,), np.int32)
-    return terms, (incidence, over_atoms, overflow), offset
+        incidence = np.full((n, k1), -1, np.int32)
+        over_rows = []
+        over_atoms = []
+        for i, e in enumerate(entries):
+            incidence[i, :min(len(e), k1)] = e[:k1]
+            if len(e) > k1:
+                over_atoms.append(i)
+                over_rows.append(e[k1:])
+        if over_rows:
+            k2 = max(len(r) for r in over_rows)
+            overflow = np.full((len(over_rows), k2), -1, np.int32)
+            for r, e in enumerate(over_rows):
+                overflow[r, :len(e)] = e
+            over_atoms = np.asarray(over_atoms, np.int32)
+        else:
+            overflow = np.zeros((0, 1), np.int32)
+            over_atoms = np.zeros((0,), np.int32)
+        incidences.append((incidence, over_atoms, overflow))
+    return terms, incidences, total
 
 
 def energies_and_forces(pos, box, terms, incidence, total_slots):
     """Returns (dict of per-type energy sums, (N,3) forces).
 
-    ``incidence`` = (primary (N,K1), overflow_atoms (H,), overflow (H,K2)),
-    indices into the term-major flat contribution array.
+    ``incidence`` = per-term-type list of (primary (N,K1), overflow_atoms,
+    overflow (H,K2)) tables indexing that type's flat contribution array.
     """
-    incidence, over_atoms, overflow = incidence
     box3 = (box[0], box[1], box[2])
     energies = {}
-    contribs = []
-    for name, idx, prm, split in terms:
+    forces = jnp.zeros_like(pos)
+    for (name, idx, prm, split), (inc_t, over_atoms, overflow) in zip(
+            terms, incidence):
         fn, _ = _TERM_FNS[name]
         mask = (idx[:, 0] >= 0)
         # ONE row-shaped gather per term type (fast TPU lowering); the math
@@ -395,26 +396,24 @@ def energies_and_forces(pos, box, terms, incidence, total_slots):
             else:
                 energies[name] = jnp.sum(e_m)
         fmask = mask.astype(pos.dtype)
-        # restack to (NT,P,3) so the flat array stays row-gatherable
+        # restack to (NT,P,3); the per-type flat array stays row-gatherable
         g_t = jnp.stack([jnp.stack([gx * fmask, gy * fmask, gz * fmask], -1)
                          for gx, gy, gz in grads], axis=1)
-        contribs.append(g_t.reshape(-1, 3))
-    if not contribs:
-        return energies, jnp.zeros_like(pos)
-    flat = jnp.concatenate(contribs, axis=0)        # (TOT,3)
+        flat = g_t.reshape(-1, 3)
 
-    def accumulate(table):
-        # unrolled per-column (rows, 3) gathers: a single (rows, K, 3)
-        # gather forces a transposing relayout copy of its output on TPU
-        # (~80 us at 120k rows) that the per-column form avoids
-        acc = None
-        for k in range(table.shape[1]):
-            col = table[:, k]
-            g = jnp.where((col >= 0)[:, None], flat[np.maximum(col, 0)], 0.0)
-            acc = g if acc is None else acc + g
-        return acc
+        def accumulate(table):
+            # unrolled per-column (rows, 3) gathers: a single (rows, K, 3)
+            # gather forces a transposing relayout copy of its output, and
+            # the per-type flat source stays VMEM-resident
+            acc = None
+            for k in range(table.shape[1]):
+                col = table[:, k]
+                g = jnp.where((col >= 0)[:, None],
+                              flat[np.maximum(col, 0)], 0.0)
+                acc = g if acc is None else acc + g
+            return acc
 
-    forces = -accumulate(incidence)
-    if overflow.shape[0]:
-        forces = forces.at[over_atoms].add(-accumulate(overflow))
+        forces = forces - accumulate(inc_t)
+        if overflow.shape[0]:
+            forces = forces.at[over_atoms].add(-accumulate(overflow))
     return energies, forces

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--model", default="bulk_Im21")
     ap.add_argument("--replicate", default="1,1,1")
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--ts", type=int, default=0)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
@@ -53,7 +54,8 @@ def main():
 
     integ = VVIntegrator(333, 10, 1, 40, 0.001)
     integ.setMaxDrudeDistance(0.02)
-    ctx = Context(system, integ, positions=pos, box=box)
+    kw = {"pair_ts": args.ts} if args.ts else {}
+    ctx = Context(system, integ, positions=pos, box=box, **kw)
     ctx.set_velocities_to_temperature(333.0)
     ctx.step(5)
     jax.block_until_ready(ctx._carry.state.pos)
