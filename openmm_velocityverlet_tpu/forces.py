@@ -115,6 +115,10 @@ class ForceEvaluator:
             terms["coul_recip"] = ewald.reciprocal_energy(
                 pos, box, s.charges, s.ewald_beta, s.kmax,
                 chunk=self.ewald_chunk)
+        if int(np.asarray(s.nbt_idx).max(initial=0)) > 0:
+            terms["nbthole"] = nonbonded.nbthole_energy(
+                pos, box, s.nbt_idx, s.nbt_alpha, s.nbt_coef, s.charges,
+                s.exclusions, s.r_cutoff)
         if s.tt_donors.shape[0] > 0:
             terms["tt_damping"] = nonbonded.tt_damping_energy(
                 pos, box, s.tt_donors, s.tt_charges, s.tt_dipole_mask,
@@ -200,7 +204,7 @@ class ForceEvaluator:
         3: ("dihedral",),
         4: ("improper",),
         5: ("lj", "coul_direct", "coul_recip", "coul_self", "coul_excl_corr",
-            "exception_coul", "exception_lj", "lj_lrc"),
+            "exception_coul", "exception_lj", "lj_lrc", "nbthole"),
         7: ("drude", "thole"),
         9: ("tt_damping",),
     }

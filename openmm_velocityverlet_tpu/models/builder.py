@@ -53,6 +53,9 @@ class SystemBuilder:
         self.vsites: list = []         # (site,(p1,p2,p3),ow,xw,yw,local)
         self.drude: list = []          # (drude,parent,p2,p3,p4,charge,alpha,a12,a34)
         self.thole: list = []          # (d1,p1,d2,p2,qq,screen)
+        self.nbt_idx: 'Optional[np.ndarray]' = None
+        self.nbt_alpha: 'Optional[np.ndarray]' = None
+        self.nbt_coef: 'Optional[np.ndarray]' = None
         self.tt_donors: list = []
         self.tt_charges: Optional[np.ndarray] = None
         self.tt_b = 45.0
@@ -144,6 +147,14 @@ class SystemBuilder:
     def add_thole_pair(self, d1, p1, d2, p2, q1, q2, thole_sum, alpha1, alpha2):
         screen = thole_sum / (alpha1 * alpha2) ** (1.0 / 6.0)
         self.thole.append((d1, p1, d2, p2, q1 * q2, screen))
+
+    def set_nbthole(self, nbt_idx, nbt_alpha, nbt_coef):
+        """NBTHOLE screened-dipole tables (reference oplspsffile.py:1350-1405):
+        per-atom type index (0 = none), alpha^(-1/6) in Angstrom units and
+        the (T+1,T+1) coefficient matrix."""
+        self.nbt_idx = np.asarray(nbt_idx, np.int32)
+        self.nbt_alpha = np.asarray(nbt_alpha, np.float64)
+        self.nbt_coef = np.asarray(nbt_coef, np.float64)
 
     def set_tt_damping(self, donors, charges, b=45.0, cutoff=1.2):
         self.tt_donors = list(donors)
@@ -342,6 +353,12 @@ class SystemBuilder:
             if self.thole else np.zeros((0, 4), np.int32),
             thole_qq=farr([t[4] for t in self.thole]),
             thole_screen=farr([t[5] for t in self.thole]),
+            nbt_idx=(np.asarray(self.nbt_idx, np.int32)
+                     if self.nbt_idx is not None else np.zeros(n, np.int32)),
+            nbt_alpha=(farr(self.nbt_alpha) if self.nbt_alpha is not None
+                       else np.zeros(n, np.float32)),
+            nbt_coef=(farr(self.nbt_coef) if self.nbt_coef is not None
+                      else np.zeros((1, 1), np.float32)),
             tt_donors=iarr(self.tt_donors),
             tt_charges=farr(tt_charges),
             tt_dipole_mask=np.asarray(tt_dipole_mask),

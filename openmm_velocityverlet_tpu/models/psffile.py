@@ -303,8 +303,41 @@ class OplsPsfFile:
                 bcoef[ti, tj] = 2.0 * wdij * rij ** 6
         b.set_lj_tables(acoef, bcoef)
 
+        # ---- NBTHOLE screened-dipole tables (oplspsffile.py:1350-1405) ----
+        # Each parent atom whose type carries NBTHOLE entries gets an nbt
+        # type index (starting at 1), shared with its Drude particle; alpha
+        # factor = (-drudeconsts_alpha)^(-1/6) in Angstrom units (the engine
+        # screen formula multiplies by 10 for the nm conversion).
         if any(params.atom_types[t].nbthole for t in typenames):
-            raise NotImplementedError("NBTHOLE terms are not supported yet")
+            drude_of = dict(self.drude_pair_list)
+            nbt_idx = np.zeros(n, np.int32)
+            nbt_alpha = np.zeros(n, np.float64)
+            nbt_types = []                      # type names, index = id - 1
+            for i in range(n):
+                tname = top.atom_types[i]
+                at = params.atom_types[tname]
+                if not at.nbthole or nbt_idx[i]:
+                    continue
+                if tname in nbt_types:
+                    tid = nbt_types.index(tname) + 1
+                else:
+                    nbt_types.append(tname)
+                    tid = len(nbt_types)
+                alpha = self.drudeconsts[i][0]
+                if abs(alpha) < 1e-10:
+                    continue                    # no Drude alpha: inert
+                aval = (-alpha) ** (-1.0 / 6.0)
+                members = [i] + ([drude_of[i]] if i in drude_of else [])
+                for m in members:
+                    nbt_idx[m] = tid
+                    nbt_alpha[m] = aval
+            tt = len(nbt_types) + 1
+            coef = np.zeros((tt, tt))
+            for a_i, tn1 in enumerate(nbt_types):
+                for a_j, tn2 in enumerate(nbt_types):
+                    coef[a_i + 1, a_j + 1] = \
+                        params.atom_types[tn1].nbthole.get(tn2, 0.0)
+            b.set_nbthole(nbt_idx, nbt_alpha, coef)
 
         # ---- exclusions / exceptions (oplspsffile.py:1408-1476) ----
         p12, p13, p14 = self._build_exclusion_lists()

@@ -14,8 +14,6 @@ original.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from ..ops.ewald import ewald_parameters
@@ -55,7 +53,7 @@ def replicate(system: System, positions, box, factors=(1, 1, 2),
     d = {}
     # per-atom arrays: plain tiling
     for f in ("masses", "inv_masses", "charges", "lj_type", "lj_group",
-              "tt_charges", "tt_dipole_mask"):
+              "nbt_idx", "nbt_alpha", "tt_charges", "tt_dipole_mask"):
         d[f] = tile(getattr(system, f))
     # per-term parameter arrays: plain tiling
     for f in ("bond_r0", "bond_k", "angle_theta0", "angle_k", "ub_r0", "ub_k",
@@ -79,7 +77,8 @@ def replicate(system: System, positions, box, factors=(1, 1, 2),
     d["disp_coef_a2"] = np.float32(float(system.disp_coef_a2) * k * k)
     d["disp_coef_b"] = np.float32(float(system.disp_coef_b) * k * k)
     # shared tables / scalars unchanged
-    for f in ("acoef", "bcoef", "lj_group_allowed", "tt_b", "tt_cutoff"):
+    for f in ("acoef", "bcoef", "lj_group_allowed", "nbt_coef",
+              "tt_b", "tt_cutoff"):
         d[f] = getattr(system, f)
     statics = dict(
         r_cutoff=system.r_cutoff,

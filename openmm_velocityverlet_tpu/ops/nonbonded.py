@@ -189,3 +189,50 @@ def tt_damping_energy(pos, box, donors, tt_charges, dipole_mask, exclusions,
     gamma = 1.0 + br * (1.0 + br * (0.5 + br * (1.0 / 6.0 + br / 24.0)))
     e = -ONE_4PI_EPS0 * qq / r * jnp.exp(-br) * gamma
     return jnp.sum(jnp.where(valid, e, 0.0))
+
+
+def nbthole_energy(pos, box, nbt_idx, nbt_alpha, nbt_coef, charges,
+                   exclusions, r_cutoff):
+    """NBTHOLE screened dipole-dipole interaction
+    (reference oplspsffile.py:1350-1405):
+
+        E = -C q1 q2 (1 + s r / 2) exp(-s r) / r
+        s = coef(t1, t2) * alpha1^(-1/6) * alpha2^(-1/6) * 10   [1/nm]
+
+    over pairs of atoms in *different* NBTHOLE type groups whose coefficient
+    is nonzero (the reference's interaction groups), respecting the
+    NonbondedForce exclusions, with a plain CutoffPeriodic truncation.
+    The active-site subset is static, so the pair sweep is dense (Na, Na).
+    """
+    import numpy as np
+    active = np.where(np.asarray(nbt_idx) > 0)[0]
+    if active.size == 0:
+        return jnp.zeros((), pos.dtype)
+    t = np.asarray(nbt_idx)[active]
+    alpha = np.asarray(nbt_alpha)[active]
+    coef = np.asarray(nbt_coef, np.float64)
+    screen = (coef[t[:, None], t[None, :]]
+              * alpha[:, None] * alpha[None, :] * 10.0).astype(np.float32)
+    pair_ok = (screen != 0.0) & (t[:, None] != t[None, :])
+    # exclusion mask over the active subset (host-side, static)
+    exl = np.asarray(exclusions)
+    pos_in_active = -np.ones(exl.shape[0] if exl.size else 0, np.int64)
+    pos_in_active[active] = np.arange(active.size)
+    excl_m = np.zeros((active.size, active.size), bool)
+    for row, i in enumerate(active):
+        for j in exl[i]:
+            if j >= 0 and pos_in_active[j] >= 0:
+                excl_m[row, pos_in_active[j]] = True
+    pair_ok &= ~excl_m
+    pair_ok &= ~np.eye(active.size, dtype=bool)
+
+    p = pos[active]
+    q = jnp.asarray(np.asarray(charges)[active])
+    dr = minimum_image(p[:, None, :] - p[None, :, :], box)
+    r2 = jnp.maximum(jnp.sum(dr * dr, -1), 1e-12)
+    r = jnp.sqrt(r2)
+    mask = jnp.asarray(pair_ok) & (r2 < r_cutoff * r_cutoff)
+    sr = jnp.asarray(screen) * r
+    e = (-ONE_4PI_EPS0 * q[:, None] * q[None, :]
+         * (1.0 + 0.5 * sr) * jnp.exp(-sr) / r)
+    return 0.5 * jnp.sum(jnp.where(mask, e, 0.0))

@@ -104,6 +104,16 @@ class System:
     thole_qq: jnp.ndarray        # (TP,)  q_d1*q_d2
     thole_screen: jnp.ndarray    # (TP,)  (t1+t2)/(alpha1*alpha2)^(1/6), 1/nm
 
+    # ---- NBTHOLE screened dipoles (oplspsffile.py:1350-1405) ----
+    # per-atom NBTHOLE type (0 = inactive), alpha^(-1/6) factors (Angstrom
+    # units, matching the reference's 10x nm conversion inside the screen),
+    # and the (T+1,T+1) coefficient table; pairs of atoms in different
+    # nonzero-coef type groups interact via
+    # E = -C q1 q2 (1 + s r/2) exp(-s r)/r, s = coef * a1 * a2 * 10.
+    nbt_idx: jnp.ndarray         # (N,) i32
+    nbt_alpha: jnp.ndarray       # (N,) f32
+    nbt_coef: jnp.ndarray        # (T+1,T+1) f32
+
     # ---- CLPol Tang-Toennies damping (force.py:230-282) ----
     tt_donors: jnp.ndarray       # (ND2,) i32 H-bond donor particles
     tt_charges: jnp.ndarray      # (N,) effective charges (parents carry -q_drude)

@@ -30,6 +30,24 @@ def test_bulk_model_loads_and_evaluates(name):
     terms = ctx.potential_energy_terms()
     assert all(np.isfinite(v) for v in terms.values()), terms
 
+    # numeric parity oracle: every term is locked against golden energies
+    # from the independent float64 NumPy evaluator (tools/compute_golden.py)
+    # — a sign or scale error in any term fails here.  Tolerances cover the
+    # engine's f32 arithmetic: absolute floors scale with each term's
+    # summand magnitude (the Ewald corr/self terms are ~5e6 with massive
+    # cancellation; 1e-4 relative is far above the f32 noise there).
+    import json
+    gpath = os.path.join(os.path.dirname(__file__), "golden", f"{name}.json")
+    with open(gpath) as f:
+        golden = json.load(f)
+    for key, ref in golden.items():
+        if key == "tt_damping" and key not in terms:
+            continue  # createSystem does not add CLPolCoulTT (run-bulk does)
+        got = float(terms[key])
+        tol = max(1e-4 * abs(ref), 2.0)
+        assert abs(got - ref) <= tol, (
+            f"{name}.{key}: engine={got!r} golden={ref!r} (tol {tol:.3g})")
+
 
 def test_local_coordinates_vsite_placement_and_force_transfer():
     """LocalCoordinatesSite lone-pair parity (oplspsffile.py:964-992):
