@@ -65,13 +65,21 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=300, P=1,
         # engine provides the same physics through the partitioned-Langevin
         # path of the VV integrator applied to every particle
         if is_drude:
-            print("Drude Langevin thermostat: 5.0 /ps, 20 /ps")
-            if dt > 0.00051:
-                print("WARNING: CLPol Drude springs sit at omega*dt ~ 1 for "
-                      "dt=1 fs; the weak-coupling Langevin bath cannot hold "
-                      "T_Drude there (numerical resonance pumps the relative "
-                      "DOF).  Use --dt 0.00025..0.0005 with the Langevin "
-                      "thermostat, or the TGNH thermostat at 1 fs.")
+            integrator.setFriction(5.0)
+            if dt > 0.00075:
+                # CLPol springs sit at omega*dt ~ 1 at 1 fs; the middle
+                # scheme + exact OU map is stable there, but the kinetic
+                # temperature of the stiff relative DOF carries a
+                # discretization elevation that shrinks with the Drude
+                # friction (TPU spot-run on bulk_Im21, 20 ps: 7 K at the
+                # reference's 20/ps, 2.0 K at 100/ps).
+                integrator.setDrudeFriction(100.0)
+                print("Drude Langevin thermostat: 5.0 /ps, 100 /ps "
+                      "(drude friction raised at dt >= 1 fs to hold "
+                      "T_Drude ~ 1-2 K against the stiff-spring "
+                      "discretization elevation)")
+            else:
+                print("Drude Langevin thermostat: 5.0 /ps, 20 /ps")
         else:
             print("Langevin thermostat: 1.0 /ps")
             integrator.setFriction(1.0)

@@ -71,7 +71,6 @@ class Context:
         self.evaluator = ForceEvaluator(
             system, external_forces, ewald_chunk=ewald_chunk,
             row_block=row_block, pair_ts=pair_ts,
-            analytic_drude_spring=self.data.analytic_drude_spring,
             box_hint=box)
 
         n = system.n_atoms
@@ -119,7 +118,6 @@ class Context:
               f"electrolytes={d.electrolyte.shape[0]} "
               f"cos={d.cos_acceleration} "
               f"hardwall={d.max_drude_distance} "
-              f"analytic_spring={d.analytic_drude_spring} "
               f"ewald_beta={s.ewald_beta:.4f} kmax={s.kmax} "
               f"pair_kernel={self.evaluator.pair_kernel}", file=sys.stderr)
 
@@ -361,20 +359,16 @@ class Context:
             key, k_l = jax.random.split(st.rng_key)
             if has_extra:
                 # Langevin is applied as an exact OU velocity map in the
-                # thermostat slot below (stable for stiff Drude springs),
-                # not as an explicit drag force.
+                # thermostat slot below (stable for stiff Drude springs at
+                # omega*dt ~ 1, like the spring-in-force middle scheme
+                # itself), not as an explicit drag force.
                 F = F + extra_forces(pos, vel, box, k_l, ld_as_force=False)
             # full kick (integrateMiddleVel)
             vel = vel + dt * inv_m[:, None] * F
             if has_cons:
                 vel = cons_mod.apply_velocity_constraints(pos, vel, box, cons,
                                                           inv_m)
-            if data.analytic_drude_spring:
-                pos_h, vel = stepping.harmonic_pair_drift(pos, vel, data,
-                                                          0.5 * dt)
-                half1 = pos_h - pos
-            else:
-                half1 = 0.5 * dt * vel
+            half1 = 0.5 * dt * vel
             if has_nh:
                 vel, st = thermostat(pos, vel, box, st)
             if has_ld:
@@ -382,12 +376,7 @@ class Context:
                 if has_cons:
                     vel = cons_mod.apply_velocity_constraints(
                         pos, vel, box, cons, inv_m)
-            if data.analytic_drude_spring:
-                pos_h2, vel = stepping.harmonic_pair_drift(pos + half1, vel,
-                                                           data, 0.5 * dt)
-                delta = pos_h2 - pos
-            else:
-                delta = half1 + 0.5 * dt * vel
+            delta = half1 + 0.5 * dt * vel
             new_pos, new_err = stepping.compensated_add(pos, err, delta)
             if has_cons:
                 con_pos = cons_mod.apply_position_constraints(

@@ -37,8 +37,8 @@ class ForceEvaluator:
     def __init__(self, system: System,
                  external_forces: Sequence[Callable] = (),
                  ewald_chunk: int = 16384, row_block: int = 1024,
-                 pair_kernel: str = "auto", analytic_drude_spring=False,
-                 box_hint=None, pair_ts: int = 0):
+                 pair_kernel: str = "auto",
+                 box_hint=None, pair_ts: int = 0, **_legacy):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
@@ -75,10 +75,8 @@ class ForceEvaluator:
         # analytic sparse-term tables (scatter-free bonded/Drude/Thole);
         # regular 1-4 exceptions live in the pair kernel (see
         # allpairs.build_pair_tables), only irregular ones stay here
-        self.analytic_drude_spring = bool(analytic_drude_spring)
         self.term_tables = term_forces.build_term_tables(
-            system, zero_iso_drude=self.analytic_drude_spring,
-            exc_keep_mask=self.pair_tables["exc_term_mask"])
+            system, exc_keep_mask=self.pair_tables["exc_term_mask"])
 
     # -- virtual sites ----------------------------------------------------
     def place_vsites(self, pos):
@@ -158,17 +156,6 @@ class ForceEvaluator:
         t_terms, t_idx, t_slots = self.term_tables
         term_energies, f_terms = term_forces.energies_and_forces(
             pos, box, t_terms, t_idx, t_slots)
-        if self.analytic_drude_spring:
-            # the isotropic spring is integrated analytically in the drift;
-            # report its energy without contributing a force
-            e_iso = jax.lax.stop_gradient(drude.drude_spring_energy(
-                pos, box, s.drude_pairs, s.drude_k3,
-                np.zeros_like(np.asarray(s.drude_k1)),
-                np.zeros_like(np.asarray(s.drude_k2)), s.drude_aniso))
-            term_energies = dict(term_energies)
-            term_energies["drude"] = term_energies.get(
-                "drude", jnp.zeros((), pos.dtype)) + e_iso
-
         terms = dict(terms)
         for name in ("bond", "angle", "urey_bradley", "dihedral", "improper",
                      "drude", "thole", "exception_coul", "exception_lj"):

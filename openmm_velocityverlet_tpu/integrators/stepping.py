@@ -150,61 +150,6 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
     return new_vel, eta, eta_dot, eta_dotdot, ke2
 
 
-def harmonic_pair_drift(pos, vel, data: IntegratorData, dt):
-    """Drift with the isotropic Drude spring integrated exactly.
-
-    Non-pair atoms drift linearly.  For each Drude pair the COM drifts
-    linearly while the relative coordinate rotates in (rel, vrel/omega)
-    phase space — the exact solution of the k3 spring.  The anisotropy
-    residual (k1, k2) stays in the force kicks (it is a small correction);
-    the spring *energy* is still reported in full.  Returns (pos', vel')
-    — the spring exchanges rel position and velocity, so velocities of
-    pair atoms change during the drift.
-    """
-    new_pos = pos + dt * vel
-    dp = data.drude_pairs
-    if dp.shape[0] == 0 or not data.analytic_drude_spring:
-        return new_pos, vel
-    # per-atom pair formulation (no scatters): both members compute the
-    # shared COM/relative solution; sign and m_partner/m_tot select their
-    # half (pos_i' = com' + sign_i * (m_partner/m_tot) * rel')
-    n = pos.shape[0]
-    partner, psign, _, in_pair = _pair_atom_tables(dp, n)
-    dnp = np.asarray(dp)
-    f1 = np.asarray(data.pair_f1)
-    f2 = np.asarray(data.pair_f2)
-    omega = np.zeros(n, np.float32)
-    fpart = np.zeros(n, np.float32)
-    omega[dnp[:, 0]] = np.asarray(data.pair_omega)
-    omega[dnp[:, 1]] = np.asarray(data.pair_omega)
-    fpart[dnp[:, 0]] = f2                 # drude uses f2 = m_p/m_tot
-    fpart[dnp[:, 1]] = f1                 # parent uses f1 = m_d/m_tot
-    fother = np.zeros(n, np.float32)      # weight of SELF in the COM
-    fother[dnp[:, 0]] = f1
-    fother[dnp[:, 1]] = f2
-    pp = pos[partner]
-    vp = vel[partner]
-    w = omega[:, None]
-    fo = fother[:, None]
-    fp = fpart[:, None]
-    sg = psign[:, None]
-    com = fo * pos + fp * pp
-    vcom = fo * vel + fp * vp
-    rel = sg * (pos - pp)
-    vrel = sg * (vel - vp)
-    c = jnp.cos(w * dt)
-    s = jnp.sin(w * dt)
-    inv_w = np.where(omega > 0, 1.0 / np.maximum(omega, 1e-12),
-                     dt).astype(np.float32)[:, None]
-    rel2 = jnp.where(w > 0, c * rel + s * inv_w * vrel, rel + dt * vrel)
-    vrel2 = jnp.where(w > 0, -w * s * rel + c * vrel, vrel)
-    com2 = com + dt * vcom
-    mask = in_pair[:, None]
-    new_pos = jnp.where(mask, com2 + sg * fp * rel2, new_pos)
-    vel = jnp.where(mask, vcom + sg * fp * vrel2, vel)
-    return new_pos, vel
-
-
 def langevin_ou_update(vel, masses, key, data: IntegratorData):
     """Exact Ornstein-Uhlenbeck velocity update for the Langevin-thermostated
     particles — the middle-scheme analog of OpenMM's DrudeLangevinIntegrator.

@@ -61,11 +61,7 @@ class IntegratorData:
     electric_field: float = struct.field(pytree_node=False)  # kJ/(nm e)
     mirror_location: float = struct.field(pytree_node=False)
     num_temp_groups: int = struct.field(pytree_node=False)
-    # analytic (exact) integration of the isotropic Drude spring during the
-    # drift phases: removes the omega*dt ~ 1 numerical resonance that pumps
-    # the Drude relative DOF at 1 fs (CLPol springs), letting weak-coupling
-    # Langevin hold T_drude.  Middle scheme only.
-    analytic_drude_spring: bool = struct.field(pytree_node=False)
+
 
     # NH partition tables
     nh_mask: jnp.ndarray          # (N,) bool
@@ -82,10 +78,13 @@ class IntegratorData:
     image_pairs: jnp.ndarray      # (I,2) i32 (image, parent)
     electrolyte: jnp.ndarray      # (Ne,) i32
     drude_pairs: jnp.ndarray      # (D,2) i32 — hardwall domain
-    # per-pair analytic-spring tables (omega = sqrt(k3/mu), mass fractions)
+    # per-pair spring tables (omega = sqrt(k3/mu), mass fractions, aniso)
     pair_omega: jnp.ndarray       # (D,)
     pair_f1: jnp.ndarray          # (D,) m_d/(m_d+m_p)
     pair_f2: jnp.ndarray          # (D,) m_p/(m_d+m_p)
+    pair_k1: jnp.ndarray          # (D,) aniso residual spring constants
+    pair_k2: jnp.ndarray          # (D,)
+    pair_aniso: jnp.ndarray       # (D,4) axis atoms, -1 if isotropic
 
 
 class VVIntegrator:
@@ -115,7 +114,7 @@ class VVIntegrator:
         self.cos_acceleration = 0.0        # nm/ps^2
         self.use_com_temp_group = False
         self.use_middle_scheme = True
-        self.analytic_drude_spring = False
+
         self.debug_enabled = False
         self._auto_com_temp_group = True
         self._auto_friction = True
@@ -195,12 +194,14 @@ class VVIntegrator:
     def getUseMiddleScheme(self): return self.use_middle_scheme
 
     def setAnalyticDrudeSpring(self, b):
-        """Integrate the isotropic Drude spring exactly during drifts
-        (middle scheme).  Removes the stiff-spring resonance at dt = 1 fs;
-        required for the weak-coupling Drude Langevin bath at that step."""
-        self.analytic_drude_spring = bool(b)
+        """Deprecated no-op, kept for API compatibility.  The spring-in-
+        force middle scheme is stable at omega*dt ~ 1 (trace of the
+        kick+drift map is 2 - (omega dt)^2 > -2), and the exact OU velocity
+        map holds the Drude bath; splitting the spring out of the force
+        (round-1/2 experiments) injected energy through the force terms
+        frozen across the rotation and is gone."""
 
-    def getAnalyticDrudeSpring(self): return self.analytic_drude_spring
+    def getAnalyticDrudeSpring(self): return False
     def setDebugEnabled(self, b): self.debug_enabled = bool(b)
     def getDebugEnabled(self): return self.debug_enabled
 
@@ -328,9 +329,6 @@ class VVIntegrator:
 
         return IntegratorData(
             dt=self.step_size,
-            analytic_drude_spring=bool(self.analytic_drude_spring
-                                       and self.use_middle_scheme
-                                       and drude_pairs.shape[0] > 0),
             temperature=self.temperature, frequency=self.frequency,
             drude_temperature=self.drude_temperature,
             drude_frequency=self.drude_frequency,
@@ -359,4 +357,8 @@ class VVIntegrator:
             pair_omega=pair_omega.astype(np.float32),
             pair_f1=pair_f1.astype(np.float32),
             pair_f2=pair_f2.astype(np.float32),
+            pair_k1=np.asarray(system.drude_k1, np.float32).reshape(-1),
+            pair_k2=np.asarray(system.drude_k2, np.float32).reshape(-1),
+            pair_aniso=np.asarray(system.drude_aniso,
+                                  np.int32).reshape(-1, 4),
         )

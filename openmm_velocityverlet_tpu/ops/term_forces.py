@@ -236,7 +236,7 @@ _TERM_FNS = {
 }
 
 
-def build_term_tables(system, zero_iso_drude=False, exc_keep_mask=None):
+def build_term_tables(system, exc_keep_mask=None):
     """Host-side: per-term index/param arrays + the combined incidence table.
 
     Returns (terms, incidence, total_slots) where terms is a list of
@@ -289,9 +289,7 @@ def build_term_tables(system, zero_iso_drude=False, exc_keep_mask=None):
         da_safe = np.where(da >= 0, da, dp[:, 1:2])
         idx = np.concatenate([dp, da_safe[:, 1:2], da_safe[:, 2:3],
                               da_safe[:, 3:4]], axis=1)  # (D,5): d,p,p2,p3,p4
-        k3 = (np.zeros_like(np.asarray(s.drude_k3)) if zero_iso_drude
-              else np.asarray(s.drude_k3))
-        prm = np.stack([k3, s.drude_k1, s.drude_k2, has],
+        prm = np.stack([s.drude_k3, s.drude_k1, s.drude_k2, has],
                        -1).astype(np.float32)
         terms.append(("drude", idx, prm, None))
     exc_idx = np.asarray(s.exc_idx)

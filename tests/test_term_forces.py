@@ -37,11 +37,9 @@ def _rich_system():
     return sys_, jnp.asarray(pos), jnp.asarray([3.0, 3.2, 3.4], jnp.float32)
 
 
-@pytest.mark.parametrize("zero_iso", [False, True])
-def test_analytic_forces_match_autodiff(zero_iso):
+def test_analytic_forces_match_autodiff():
     system, pos, box = _rich_system()
-    tables = term_forces.build_term_tables(system, zero_iso_drude=zero_iso)
-    terms, inc, slots = tables
+    terms, inc, slots = term_forces.build_term_tables(system)
 
     def total_e(p):
         es, _ = term_forces.energies_and_forces(p, box, terms, inc, slots)

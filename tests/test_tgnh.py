@@ -152,30 +152,22 @@ def test_vanilla_vv_scheme_runs_and_conserves():
     assert abs(T - 120.0) < 40.0, T
 
 
-def test_analytic_drude_spring_conserves_energy():
-    """NVE with the isotropic Drude spring integrated analytically during
-    drifts: the splitting is a composition of exact/symplectic flows, so
-    total energy (with the full spring energy reported) must be conserved
-    as well as plain velocity-Verlet."""
+def test_drude_spring_nve_conservation():
+    """Near-NVE energy conservation with stiff Drude springs in the force
+    (the middle scheme's kick+drift map has trace 2 - (omega dt)^2, stable
+    and symplectic at the reference's omega*dt ~ 1)."""
     from openmm_velocityverlet_tpu.units import BOLTZ
 
     system, pos, box = make_polarizable_dumbbell_fluid()
-    drift = {}
-    for analytic in (False, True):
-        # near-NVE: NH frequencies ~0 give thermostat masses ~1/omega^2,
-        # decoupling the bath over this window (NH is always on in the
-        # reference integrator design)
-        integ = VVIntegrator(150.0, 0.01, 1.0, 0.01, 0.0005)
-        integ.setAnalyticDrudeSpring(analytic)
-        ctx = Context(system, integ, positions=pos, box=box)
-        ctx.set_velocities_to_temperature(150.0, seed=7)
-        e0 = ctx.potential_energy() + ctx.kinetic_energy()
-        ctx.step(400)
-        e1 = ctx.potential_energy() + ctx.kinetic_energy()
-        drift[analytic] = abs(e1 - e0)
+    # near-NVE: NH frequencies ~0 give thermostat masses ~1/omega^2,
+    # decoupling the bath over this window (NH is always on in the
+    # reference integrator design)
+    integ = VVIntegrator(150.0, 0.01, 1.0, 0.01, 0.0005)
+    ctx = Context(system, integ, positions=pos, box=box)
+    ctx.set_velocities_to_temperature(150.0, seed=7)
+    e0 = ctx.potential_energy() + ctx.kinetic_energy()
+    ctx.step(400)
+    e1 = ctx.potential_energy() + ctx.kinetic_energy()
     n_dof = 3 * system.n_atoms
     scale = n_dof * BOLTZ * 150.0
-    # both schemes conserve to a small fraction of the thermal energy, and
-    # the analytic splitting is not significantly worse than plain VV
-    assert drift[True] < 0.2 * scale, (drift, scale)
-    assert drift[True] < 4.0 * drift[False] + 0.05 * scale, drift
+    assert abs(e1 - e0) < 0.1 * scale, (e1 - e0, scale)

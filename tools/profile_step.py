@@ -187,15 +187,6 @@ def main():
         return jax.lax.fori_loop(0, iters, body, p)
     timeit("drude hardwall", jax.jit(hw_loop), pos_j, iters=iters)
 
-    if data.analytic_drude_spring:
-        def drift_loop(p):
-            def body(i, p):
-                ph, _ = stepping.harmonic_pair_drift(p, vel_j, data, 0.0005)
-                return p + 1e-12 * ph
-            return jax.lax.fori_loop(0, iters, body, p)
-        timeit("analytic spring drift", jax.jit(drift_loop), pos_j,
-               iters=iters)
-
     # ---- full step ----
     ctx.step(5)
     jax.block_until_ready(ctx._carry.state.pos)
