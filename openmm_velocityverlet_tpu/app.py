@@ -57,10 +57,15 @@ class Simulation:
     def load_checkpoint(self, filename):
         load_checkpoint(self.context, filename)
 
-    def minimize_energy(self, tolerance=10.0, max_iterations=500):
-        """Simple steepest-descent/line-search minimizer (util.py minimize
-        parity — OpenMM uses L-BFGS; SD with backtracking is sufficient for
-        relaxing clashes before dynamics)."""
+    def minimize_energy(self, tolerance=10.0, max_iterations=500,
+                        history=10):
+        """L-BFGS energy minimization (ommhelper/util.py:21-29 parity —
+        OpenMM's LocalEnergyMinimizer is L-BFGS too).
+
+        Two-loop recursion with Armijo backtracking on the jitted
+        energy/force evaluation; converges when the RMS force drops below
+        ``tolerance`` (kJ/mol/nm).  Falls back to the steepest-descent
+        direction whenever curvature information is not yet usable."""
         import jax
         import jax.numpy as jnp
         ctx = self.context
@@ -73,20 +78,71 @@ class Simulation:
 
         pos = ctx.state.pos
         box = ctx.state.box
+        n = ctx.system.n_atoms
         e, f = e_and_f(pos, box)
-        alpha = 1e-6
-        for it in range(max_iterations):
-            fnorm = jnp.sqrt(jnp.sum(f * f))
-            if float(fnorm) < tolerance * ctx.system.n_atoms ** 0.5:
+        e = float(e)
+        g = -f                            # gradient
+        s_hist, y_hist, rho_hist = [], [], []
+        step_cap = 0.05                   # nm, per-component trust region
+        for _ in range(max_iterations):
+            rms = float(jnp.sqrt(jnp.mean(jnp.sum(f * f, -1))))
+            if rms < tolerance:
                 break
-            step = jnp.clip(alpha * f, -0.02, 0.02)
-            new_pos = pos + step
-            e_new, f_new = e_and_f(new_pos, box)
-            if float(e_new) < float(e):
-                pos, e, f = new_pos, e_new, f_new
-                alpha *= 1.2
+            # two-loop recursion
+            q = g
+            alphas = []
+            for s_i, y_i, r_i in zip(reversed(s_hist), reversed(y_hist),
+                                     reversed(rho_hist)):
+                a_i = r_i * float(jnp.sum(s_i * q))
+                alphas.append(a_i)
+                q = q - a_i * y_i
+            if y_hist:
+                y_last = y_hist[-1]
+                gamma = float(jnp.sum(s_hist[-1] * y_last)
+                              / jnp.maximum(jnp.sum(y_last * y_last), 1e-30))
+                q = gamma * q
             else:
-                alpha *= 0.5
+                q = q * (0.01 / max(rms, 1e-6))
+            for (s_i, y_i, r_i), a_i in zip(
+                    zip(s_hist, y_hist, rho_hist), reversed(alphas)):
+                b_i = r_i * float(jnp.sum(y_i * q))
+                q = q + (a_i - b_i) * s_i
+            d = -q                        # descent direction
+            gd = float(jnp.sum(g * d))
+            if gd >= 0:                   # not a descent direction: reset
+                s_hist, y_hist, rho_hist = [], [], []
+                d = -g * (0.01 / max(rms, 1e-6))
+                gd = float(jnp.sum(g * d))
+            # clip to the trust region
+            dmax = float(jnp.max(jnp.abs(d)))
+            if dmax > step_cap:
+                scale = step_cap / dmax
+                d = d * scale
+                gd *= scale
+            # Armijo backtracking
+            t = 1.0
+            for _ls in range(20):
+                new_pos = pos + t * d
+                e_new, f_new = e_and_f(new_pos, box)
+                e_new = float(e_new)
+                if math.isfinite(e_new) and e_new <= e + 1e-4 * t * gd:
+                    break
+                t *= 0.5
+            else:
+                break                     # line search failed: converged-ish
+            g_new = -f_new
+            s_vec = t * d
+            y_vec = g_new - g
+            sy = float(jnp.sum(s_vec * y_vec))
+            if sy > 1e-10:
+                s_hist.append(s_vec)
+                y_hist.append(y_vec)
+                rho_hist.append(1.0 / sy)
+                if len(s_hist) > history:
+                    s_hist.pop(0)
+                    y_hist.pop(0)
+                    rho_hist.pop(0)
+            pos, e, f, g = new_pos, e_new, f_new, g_new
         ctx.set_positions(pos)
         return float(e)
 
@@ -144,33 +200,59 @@ class _BaseReporter:
 
 
 class StateDataReporter(_BaseReporter):
-    """Energy/temperature/volume/density/speed columns
-    (reference: ommhelper/reporter/statedatareporter.py)."""
+    """Energy/temperature/volume/box/density/progress/speed/elapsed/remaining
+    columns plus collective-variable hooks — full column parity with the
+    reference reporter (ommhelper/reporter/statedatareporter.py:120-302),
+    including its NaN/inf abort (:375-388)."""
 
     def __init__(self, file, report_interval, volume=False, density=True,
-                 box=True, append=False):
+                 box=True, append=False, progress=False, remaining_time=False,
+                 elapsed_time=True, total_steps=None, cvs=()):
         super().__init__(file, report_interval, append)
+        if (progress or remaining_time) and total_steps is None:
+            raise ValueError("Reporting progress or remaining time requires "
+                             "total steps to be specified")
         self._volume = volume
         self._density = density
         self._box = box
-        self._last_time = None
-        self._last_sim_time = None
+        self._progress = progress
+        self._remaining = remaining_time
+        self._elapsed = elapsed_time
+        self._total_steps = total_steps
+        self._cvs = list(cvs)          # callables: cv(context) -> float
+        self._t0 = None
+        self._sim_t0 = None
+        self._steps0 = None
 
     def report(self, simulation):
         ctx = simulation.context
         if not self._initialized:
-            cols = ['#"Step"', '"Time (ps)"', '"Potential Energy (kJ/mole)"',
-                    '"Kinetic Energy (kJ/mole)"', '"Total Energy (kJ/mole)"',
-                    '"Temperature (K)"']
-            if self._box:
-                cols += ['"Box"']
+            cols = []
+            if self._progress:
+                cols += ['#"Progress (%)"', '"Step"']
+            else:
+                cols += ['#"Step"']
+            cols += ['"Time (ps)"', '"Potential Energy (kJ/mole)"',
+                     '"Kinetic Energy (kJ/mole)"', '"Total Energy (kJ/mole)"',
+                     '"Temperature (K)"']
             if self._volume:
                 cols += ['"Volume (nm^3)"']
+            if self._box:
+                cols += ['"Lx"', '"Ly"', '"Lz"']
             if self._density:
                 cols += ['"Density (g/mL)"']
             cols += ['"Speed (ns/day)"']
+            if self._elapsed:
+                cols += ['"Elapsed Time (hr)"']
+            if self._remaining:
+                cols += ['"Time Remaining"']
+            for i in range(len(self._cvs)):
+                cols += [f'"CV{i}"']
             print("\t".join(cols), file=self._out)
             self._initialized = True
+            self._t0 = time.time()
+            self._sim_t0 = ctx.time
+            self._steps0 = ctx.current_step
         epot = ctx.potential_energy()
         ekin = ctx.kinetic_energy()
         if not (math.isfinite(epot) and math.isfinite(ekin)):
@@ -185,25 +267,43 @@ class StateDataReporter(_BaseReporter):
         box = ctx.get_box()
         vol = float(box[0] * box[1] * box[2])
         now = time.time()
-        speed = 0.0
-        if self._last_time is not None:
-            dt_wall = now - self._last_time
-            dt_sim = ctx.time - self._last_sim_time
-            if dt_wall > 0:
-                speed = dt_sim / 1000.0 * 86400.0 / dt_wall
-        self._last_time = now
-        self._last_sim_time = ctx.time
-        vals = [str(ctx.current_step), f"{ctx.time:.3f}", f"{epot:.2f}",
-                f"{ekin:.2f}", f"{epot + ekin:.2f}", f"{temp:.2f}"]
-        if self._box:
-            vals += [f"{box[0]:.4f}x{box[1]:.4f}x{box[2]:.4f}"]
+        vals = []
+        if self._progress:
+            vals += [f"{100.0 * ctx.current_step / self._total_steps:.1f}%"]
+        vals += [str(ctx.current_step), f"{ctx.time:.3f}", f"{epot:.2f}",
+                 f"{ekin:.2f}", f"{epot + ekin:.2f}", f"{temp:.2f}"]
         if self._volume:
             vals += [f"{vol:.4f}"]
+        if self._box:
+            vals += [f"{box[0]:.4f}", f"{box[1]:.4f}", f"{box[2]:.4f}"]
         if self._density:
             mass_g = float(np.sum(np.asarray(sysm.masses)))  # g/mol
             dens = mass_g / 6.02214076e23 / (vol * 1e-21)    # g/mL
             vals += [f"{dens:.4f}"]
-        vals += [f"{speed:.1f}"]
+        elapsed_days = (now - self._t0) / 86400.0
+        elapsed_ns = (ctx.time - self._sim_t0) / 1000.0
+        vals += [f"{elapsed_ns / elapsed_days:.3g}" if elapsed_days > 0
+                 else "--"]
+        if self._elapsed:
+            vals += [f"{(now - self._t0) / 3600.0:.3g}"]
+        if self._remaining:
+            steps_done = ctx.current_step - self._steps0
+            if steps_done == 0:
+                vals += ["--"]
+            else:
+                secs = int((self._total_steps - ctx.current_step)
+                           * (now - self._t0) / steps_done)
+                d, secs = divmod(secs, 86400)
+                h, secs = divmod(secs, 3600)
+                mnt, secs = divmod(secs, 60)
+                if d > 0:
+                    vals += [f"{d}:{h}:{mnt:02d}:{secs:02d}"]
+                elif h > 0:
+                    vals += [f"{h}:{mnt:02d}:{secs:02d}"]
+                else:
+                    vals += [f"{mnt}:{secs:02d}"]
+        for cv in self._cvs:
+            vals += [f"{float(cv(ctx)):.6g}"]
         print("\t".join(vals), file=self._out)
         self._flush()
 

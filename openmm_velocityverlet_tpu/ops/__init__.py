@@ -1,1 +1,1 @@
-from . import bonded, constraints, drude, ewald, external, neighborlist, nonbonded, vsites
+from . import bonded, constraints, drude, ewald, external, nonbonded, vsites

@@ -16,9 +16,10 @@ Physics matches the reference force-field builder:
 * Tang-Toennies CLPol damping between H-bond donors and Drude dipoles follows
   force.py:230-282.
 
-TPU design: the (N,K) neighbor kernel computes energy *and* analytic forces
-with gathers and a sum over the K axis only — no scatter in the hot loop.
-Smaller terms use jnp energies differentiated by jax.grad.
+TPU design: the hot pair sweep lives in ops/allpairs.py (dense) and
+ops/pallas_pair.py (banded Pallas kernel); this module holds the shared
+smaller terms, differentiated by jax.grad where analytic forces are not
+hand-written.
 """
 from __future__ import annotations
 
@@ -30,113 +31,6 @@ from ..utils.pbc import minimum_image
 
 _SQRT_PI = 1.7724538509055159
 _EPS = 1e-12
-
-
-def direct_space(pos, box, nbr_idx, charges, lj_type, acoef, bcoef,
-                 beta, r_cutoff, lj_group=None, lj_group_allowed=None):
-    """LJ + Ewald-direct Coulomb over a (N,K) neighbor list.
-
-    Returns (E_lj, E_coul, F) — the list stores both pair directions, so
-    energies are halved and F needs no scatter.
-    """
-    n, k = nbr_idx.shape
-    valid = nbr_idx >= 0
-    j = jnp.maximum(nbr_idx, 0)
-    rj = pos[j]                                     # (N,K,3)
-    dr = minimum_image(pos[:, None, :] - rj, box)   # i - j
-    r2 = jnp.sum(dr * dr, -1)
-    in_range = valid & (r2 < r_cutoff * r_cutoff)
-    r2s = jnp.where(in_range, r2, 1.0)              # safe
-    inv_r2 = 1.0 / r2s
-    inv_r = jnp.sqrt(inv_r2)
-    r = r2s * inv_r
-
-    # LJ from type-pair tables
-    ti = lj_type[:, None]
-    tj = lj_type[j]
-    a = acoef[ti, tj]
-    b = bcoef[ti, tj]
-    if lj_group is not None and lj_group_allowed.shape[0] > 1:
-        allowed = lj_group_allowed[lj_group[:, None], lj_group[j]]
-        a = jnp.where(allowed, a, 0.0)
-        b = jnp.where(allowed, b, 0.0)
-    inv_r6 = inv_r2 * inv_r2 * inv_r2
-    inv_r12 = inv_r6 * inv_r6
-    e_lj = a * a * inv_r12 - b * inv_r6
-    # F = -dE/dr * rhat ; dE/dr = (-12 a^2 r^-13 + 6 b r^-7)
-    f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2
-
-    # Ewald direct space Coulomb
-    qq = ONE_4PI_EPS0 * charges[:, None] * charges[j]
-    br = beta * r
-    erfc_br = jax.lax.erfc(br)
-    e_coul = qq * erfc_br * inv_r
-    f_coul = qq * (erfc_br * inv_r
-                   + (2.0 * beta / _SQRT_PI) * jnp.exp(-br * br)) * inv_r2
-
-    f_scalar = jnp.where(in_range, f_lj + f_coul, 0.0)
-    forces = jnp.sum(f_scalar[..., None] * dr, axis=1)       # (N,3)
-    e_lj_tot = 0.5 * jnp.sum(jnp.where(in_range, e_lj, 0.0))
-    e_coul_tot = 0.5 * jnp.sum(jnp.where(in_range, e_coul, 0.0))
-    return e_lj_tot, e_coul_tot, forces
-
-
-def exclusion_correction(pos, box, exclusions, charges, beta):
-    """Subtract the reciprocal-space contribution of excluded pairs:
-    E = -sum qq erf(beta r)/r over the per-atom (N,E) exclusion table.
-    Returns (E, F) analytically (the integrand is smooth at r -> 0).
-    """
-    if exclusions.shape[1] == 0:
-        z = jnp.zeros((), pos.dtype)
-        return z, jnp.zeros_like(pos)
-    exclusions = jnp.asarray(exclusions)
-    charges = jnp.asarray(charges)
-    valid = exclusions >= 0
-    j = jnp.maximum(exclusions, 0)
-    dr = minimum_image(pos[:, None, :] - pos[j], box)
-    r2 = jnp.sum(dr * dr, -1)
-    r2s = jnp.maximum(r2, 1e-10)
-    inv_r = jax.lax.rsqrt(r2s)
-    r = r2s * inv_r
-    qq = ONE_4PI_EPS0 * charges[:, None] * charges[j]
-    br = beta * r
-    erf_br = jax.lax.erf(br)
-    e = -qq * erf_br * inv_r
-    # F_i = -qq * (erf/r - 2b/sqrt(pi) exp(-b^2r^2)) / r^2 * dr  (negated)
-    f_scalar = -qq * (erf_br * inv_r
-                      - (2.0 * beta / _SQRT_PI) * jnp.exp(-br * br)) / r2s
-    f_scalar = jnp.where(valid, f_scalar, 0.0)
-    forces = jnp.sum(f_scalar[..., None] * dr, axis=1)
-    energy = 0.5 * jnp.sum(jnp.where(valid, e, 0.0))
-    return energy, forces
-
-
-def exception_terms(pos, box, exc_idx, exc_qq, exc_c6, exc_c12):
-    """1-4 exception pairs via per-atom (N,X) tables (both directions stored).
-    E = qq/r + c12/r^12 - c6/r^6 ; qq already includes ONE_4PI_EPS0.
-    """
-    if exc_idx.shape[1] == 0:
-        z = jnp.zeros((), pos.dtype)
-        return z, z, jnp.zeros_like(pos)
-    exc_idx = jnp.asarray(exc_idx)
-    exc_qq = jnp.asarray(exc_qq)
-    exc_c6 = jnp.asarray(exc_c6)
-    exc_c12 = jnp.asarray(exc_c12)
-    valid = exc_idx >= 0
-    j = jnp.maximum(exc_idx, 0)
-    dr = minimum_image(pos[:, None, :] - pos[j], box)
-    r2 = jnp.maximum(jnp.sum(dr * dr, -1), 1e-10)
-    inv_r2 = 1.0 / r2
-    inv_r = jnp.sqrt(inv_r2)
-    inv_r6 = inv_r2 * inv_r2 * inv_r2
-    e_coul = exc_qq * inv_r
-    e_lj = exc_c12 * inv_r6 * inv_r6 - exc_c6 * inv_r6
-    f_scalar = (e_coul + 12.0 * exc_c12 * inv_r6 * inv_r6
-                - 6.0 * exc_c6 * inv_r6) * inv_r2
-    f_scalar = jnp.where(valid, f_scalar, 0.0)
-    forces = jnp.sum(f_scalar[..., None] * dr, axis=1)
-    return (0.5 * jnp.sum(jnp.where(valid, e_coul, 0.0)),
-            0.5 * jnp.sum(jnp.where(valid, e_lj, 0.0)), forces)
 
 
 def ewald_self_energy(charges, beta, box):

@@ -85,3 +85,23 @@ def test_nh_thermostat_reaches_temperature():
         temps.append(2 * ke / (dof * BOLTZ))
     mean_t = np.mean(temps[10:])
     assert abs(mean_t - t_target) / t_target < 0.2, temps
+
+
+def test_lbfgs_minimizer_relaxes_clashes():
+    """L-BFGS minimization (ommhelper/util.py:21-29 parity) drives a
+    perturbed LJ fluid downhill well past where one SD step would."""
+    from openmm_velocityverlet_tpu.app import Simulation
+    from openmm_velocityverlet_tpu import VVIntegrator, Context
+
+    system, pos, box = make_lj_fluid(n_side=3)
+    rng = np.random.RandomState(2)
+    bad = np.asarray(pos) + rng.normal(0, 0.04, (system.n_atoms, 3))
+    integ = VVIntegrator(120.0, 5.0, 1.0, 20.0, 0.001)
+    ctx = Context(system, integ, positions=bad, box=box)
+    sim = Simulation(None, ctx)
+    e0 = ctx.potential_energy()
+    e_min = sim.minimize_energy(tolerance=5.0, max_iterations=200)
+    assert e_min < e0 - 0.5 * abs(e0), (e0, e_min)
+    f = ctx.get_forces()
+    rms = float(np.sqrt(np.mean(np.sum(np.asarray(f) ** 2, -1))))
+    assert rms < 50.0, rms
