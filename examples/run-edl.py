@@ -26,6 +26,7 @@ from openmm_velocityverlet_tpu.models.grofile import GroFile
 from openmm_velocityverlet_tpu.models.helper import (add_clpol_coul_tt,
                                                      add_molecule_links,
                                                      assign_image_charges,
+                                                     mirror_image_exclusions,
                                                      set_lj_interaction_groups)
 from openmm_velocityverlet_tpu.models.prmfile import CharmmParameterSet
 from openmm_velocityverlet_tpu.models.psffile import OplsPsfFile
@@ -74,8 +75,10 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=333, voltage=0,
         print("Add TT damping between HO and Drude dipoles")
         add_clpol_coul_tt(built, donors)
 
-    # image charges: q_img = -q_parent (run-edl.py:54-58)
+    # image charges: q_img = -q_parent (run-edl.py:54-58), with the
+    # parents' exclusion structure mirrored onto the images
     assign_image_charges(built, image_pairs)
+    mirror_image_exclusions(built, image_pairs)
 
     # LJ interaction groups (run-edl.py:60-62): the reference keeps
     # img<->ils and (mos+ils)<->(mos+ils), i.e. it removes img<->img and

@@ -58,3 +58,25 @@ def add_molecule_links(built, pairs):
     built.builder.extra_molecule_links.extend(
         (int(i), int(j)) for i, j in pairs)
     return built
+
+def mirror_image_exclusions(built, image_pairs):
+    """Give image particles their parents' exclusion/exception structure.
+
+    Images mirror ALL liquid particles — including Drude particles sitting
+    ~0.01 nm from their parents.  The liquid's intramolecular pairs are
+    excluded through the bond graph, but the images carry no bonds, so
+    without this the image of a Drude and the image of its parent interact
+    by bare Coulomb at contact distance (~1e8 kJ/mol of spurious energy).
+    The reference's (stripped) edl PSFs carry the image topology for the
+    same reason.  1-4 exceptions are mirrored Coulomb-only: negating both
+    charges preserves the q_i q_j product, while image LJ is removed by the
+    interaction groups anyway."""
+    img_of = {int(p): int(i) for (p, i) in image_pairs}
+    b = built.builder
+    for (i, j) in list(b.exclusions):
+        if i in img_of and j in img_of:
+            b.add_exclusion(img_of[i], img_of[j])
+    for (i, j), (qq, sigma, eps) in list(b.exceptions.items()):
+        if i in img_of and j in img_of:
+            b.add_exception(img_of[i], img_of[j], qq, 0.1, 0.0)
+    return built

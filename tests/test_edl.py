@@ -114,3 +114,31 @@ def test_edl_full_wiring():
     # energy stays finite and the field term is active
     terms = ctx.potential_energy_terms()
     assert all(np.isfinite(v) for v in terms.values())
+
+
+def test_mirror_image_exclusions():
+    """Image particles inherit their parents' exclusion/exception structure
+    (the image of a Drude sits ~0.01 nm from the image of its parent; bare
+    Coulomb there is ~1e8 kJ/mol of spurious energy)."""
+    from openmm_velocityverlet_tpu.models.helper import (
+        mirror_image_exclusions)
+
+    class B:
+        pass
+
+    class Built:
+        pass
+    built = Built()
+    b = B()
+    b.exclusions = {(0, 1), (0, 2)}
+    b.exceptions = {(1, 2): (0.25, 0.3, 0.5)}
+    added_exc = []
+    added_exn = []
+    b.add_exclusion = lambda i, j: added_exc.append((i, j))
+    b.add_exception = lambda i, j, qq, s, e: added_exn.append(
+        (i, j, qq, s, e))
+    built.builder = b
+    # parents 0,1,2 -> images 10,11,12
+    mirror_image_exclusions(built, [(0, 10), (1, 11), (2, 12)])
+    assert set(added_exc) == {(10, 11), (10, 12)}
+    assert added_exn == [(11, 12, 0.25, 0.1, 0.0)]
