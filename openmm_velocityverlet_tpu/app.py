@@ -417,9 +417,15 @@ class DCDReporter:
     attach OpenMM's app.DCDReporter, run-bulk.py:90).  Standard DCD layout:
     Fortran-style record markers, CORD header with unit-cell flag, per-frame
     unit-cell block (a, gamma, b, beta, alpha, c convention) and X/Y/Z f32
-    coordinate records in Angstrom."""
+    coordinate records in Angstrom.
 
-    def __init__(self, file, report_interval, append=False):
+    Frames are encoded by the native C library (nm->Angstrom conversion +
+    AoS->SoA transpose, native/fastio.c:encode_dcd_frame) when available and
+    written by a background IO thread, so trajectory output never blocks the
+    MD loop; both fall back to synchronous pure-Python paths."""
+
+    def __init__(self, file, report_interval, append=False,
+                 background_io=True):
         import struct
         self._interval = int(report_interval)
         self._path = file
@@ -428,6 +434,27 @@ class DCDReporter:
         self._append = append
         self._fh = None
         self._struct = struct
+        self._queue = None
+        self._thread = None
+        if background_io:
+            import queue as _queue
+            import threading
+            self._queue = _queue.Queue(maxsize=16)
+
+            def writer():
+                while True:
+                    item = self._queue.get()
+                    if item is None:
+                        break
+                    fn, payload = item
+                    try:
+                        fn(payload)
+                    except Exception:
+                        pass
+                    self._queue.task_done()
+
+            self._thread = threading.Thread(target=writer, daemon=True)
+            self._thread.start()
 
     def describeNextReport(self, simulation):
         return self._interval - simulation.current_step % self._interval
@@ -476,27 +503,47 @@ class DCDReporter:
                 self._write_header(n, float(ctx.integrator.getStepSize()),
                                    simulation.current_step)
                 self._n_atoms = n
-        # unit cell record: a, gamma(cos), b, beta(cos), alpha(cos), c
-        fh = self._fh
-        fh.write(s.pack("<i6di", 48, box[0], 0.0, box[1], 0.0, 0.0, box[2],
-                        48))
-        for axis in range(3):
-            data = _np.ascontiguousarray(pos[:, axis])
-            fh.write(s.pack("<i", 4 * n))
-            fh.write(data.tobytes())
-            fh.write(s.pack("<i", 4 * n))
+        from .native import encode_dcd_frame
+        frame = encode_dcd_frame(pos / 10.0, box / 10.0)
+        if frame is None:
+            # pure-Python fallback: unit cell + per-axis records
+            parts = [s.pack("<i6di", 48, box[0], 0.0, box[1], 0.0, 0.0,
+                            box[2], 48)]
+            for axis in range(3):
+                data = _np.ascontiguousarray(pos[:, axis])
+                parts += [s.pack("<i", 4 * n), data.tobytes(),
+                          s.pack("<i", 4 * n)]
+            frame = b"".join(parts)
         self._n_frames += 1
-        # patch NSET in the header
-        here = fh.tell()
-        fh.seek(8)
-        fh.write(s.pack("<i", self._n_frames))
-        fh.seek(here)
-        fh.flush()
+        nset = s.pack("<i", self._n_frames)
+        fh = self._fh
+
+        def write_frame(payload):
+            fr, ns = payload
+            fh.seek(0, 2)
+            fh.write(fr)
+            fh.seek(8)
+            fh.write(ns)
+            fh.flush()
+
+        if self._queue is not None:
+            self._queue.put((write_frame, (frame, nset)))
+        else:
+            write_frame((frame, nset))
+
+    def close(self):
+        if self._queue is not None:
+            self._queue.join()
+            self._queue.put(None)
+            self._thread.join(timeout=5)
+            self._queue = None
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
 
     def __del__(self):
         try:
-            if self._fh is not None:
-                self._fh.close()
+            self.close()
         except Exception:
             pass
 

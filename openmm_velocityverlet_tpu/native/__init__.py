@@ -42,6 +42,10 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int)]
+        lib.encode_dcd_frame.restype = ctypes.c_long
+        lib.encode_dcd_frame.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_char_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -70,3 +74,20 @@ def parse_gro_block(text: bytes, n_atoms: int):
     if got != n_atoms:
         return None
     return pos, (vel if has_vel.value else None)
+
+
+def encode_dcd_frame(xyz_nm, box_nm):
+    """Encode one DCD frame natively.  Returns bytes or None (fallback)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    xyz = np.ascontiguousarray(xyz_nm, np.float32)
+    box = np.ascontiguousarray(box_nm, np.float64)
+    n = xyz.shape[0]
+    buf = ctypes.create_string_buffer(56 + 3 * (4 * n + 8))
+    got = lib.encode_dcd_frame(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        box.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), buf)
+    return buf.raw[:got]

@@ -59,3 +59,30 @@ long parse_gro_block(const char *text, long n_atoms, double *pos,
     }
     return n_atoms;
 }
+
+/* Native DCD frame encoder — trajectory-writer hot path in C.
+ *
+ * Produces one complete CHARMM DCD frame (unit-cell record + X/Y/Z f32
+ * coordinate records with Fortran markers) from (n,3) nm positions:
+ * the nm->Angstrom conversion and AoS->SoA transpose happen here instead
+ * of three numpy passes.  Returns bytes written.
+ */
+long encode_dcd_frame(const float *xyz_nm, long n, const double *box_nm,
+                      char *out) {
+    char *p = out;
+    /* unit-cell record: a, gamma, b, beta, alpha, c (cosines = 0) */
+    *(int *)p = 48; p += 4;
+    double cell[6] = {box_nm[0] * 10.0, 0.0, box_nm[1] * 10.0,
+                      0.0, 0.0, box_nm[2] * 10.0};
+    for (int i = 0; i < 6; i++) { *(double *)p = cell[i]; p += 8; }
+    *(int *)p = 48; p += 4;
+    for (int axis = 0; axis < 3; axis++) {
+        *(int *)p = (int)(4 * n); p += 4;
+        float *dst = (float *)p;
+        for (long i = 0; i < n; i++)
+            dst[i] = xyz_nm[3 * i + axis] * 10.0f;
+        p += 4 * n;
+        *(int *)p = (int)(4 * n); p += 4;
+    }
+    return (long)(p - out);
+}

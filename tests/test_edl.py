@@ -2,6 +2,9 @@
 image charges + mirror sync, applied field, partitioned Langevin (electrode)
 + TGNH (liquid), electrode restraints and a Drude z-wall — the full
 run-edl.py wiring (reference run-edl.py:36-100) in one small system."""
+import os
+import sys
+
 import numpy as np
 
 from openmm_velocityverlet_tpu import Context, SystemBuilder, VVIntegrator
@@ -142,3 +145,49 @@ def test_mirror_image_exclusions():
     mirror_image_exclusions(built, [(0, 10), (1, 11), (2, 12)])
     assert set(added_exc) == {(10, 11), (10, 12)}
     assert added_exn == [(11, 12, 0.25, 0.1, 0.0)]
+
+
+def test_synthesized_edl_model_runs():
+    """The EDL model generator (tools/make_edl_model.py) produces a
+    gro/psf/prm triple that run-edl.py's builder consumes: finite group
+    energies and exact image mirroring after real dynamics steps."""
+    import importlib.util
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_edl_model.py"),
+             td, "40"], check=True, env={**os.environ,
+                                         "JAX_PLATFORMS": "cpu"})
+        spec = importlib.util.spec_from_file_location(
+            "runedl", os.path.join(repo, "examples", "run-edl.py"))
+        runedl = importlib.util.module_from_spec(spec)
+        argv0 = sys.argv
+        sys.argv = ["run-edl.py"]
+        cwd = os.getcwd()
+        os.chdir(td)
+        try:
+            spec.loader.exec_module(runedl)
+            sim = runedl.gen_simulation(
+                os.path.join(td, "conf.gro"), os.path.join(td, "topol.psf"),
+                os.path.join(td, "ff.prm"), voltage=1.0)
+        finally:
+            sys.argv = argv0
+            os.chdir(cwd)
+        ctx = sim.context
+        terms = ctx.potential_energy_terms()
+        assert all(np.isfinite(v) for v in terms.values()), terms
+        # image exclusion mirroring keeps the Coulomb scale physical
+        assert abs(terms["coul_direct"]) < 1e6, terms["coul_direct"]
+        ctx.set_velocities_to_temperature(333.0)
+        ctx.step(20)
+        pos = np.asarray(ctx.state.pos)
+        pairs = np.asarray(ctx.data.image_pairs)
+        mirror = ctx.data.mirror_location
+        np.testing.assert_allclose(
+            pos[pairs[:, 0], 2], 2 * mirror - pos[pairs[:, 1], 2], atol=1e-4)
+        np.testing.assert_allclose(pos[pairs[:, 0], :2],
+                                   pos[pairs[:, 1], :2], atol=1e-4)
+        assert np.isfinite(ctx.kinetic_energy())

@@ -105,3 +105,34 @@ def test_lbfgs_minimizer_relaxes_clashes():
     f = ctx.get_forces()
     rms = float(np.sqrt(np.mean(np.sum(np.asarray(f) ** 2, -1))))
     assert rms < 50.0, rms
+
+
+def test_dcd_reporter_native_roundtrip(tmp_path):
+    """DCD frames (native C encoder + background IO thread) parse back with
+    the correct cell, frame count and Angstrom coordinates."""
+    import struct
+
+    from openmm_velocityverlet_tpu.app import DCDReporter, Simulation
+
+    system, pos, box = make_lj_fluid(n_side=3)
+    integ = VVIntegrator(120.0, 5.0, 1.0, 20.0, 0.001)
+    ctx = Context(system, integ, positions=pos, box=box)
+    ctx.set_velocities_to_temperature(120.0)
+    sim = Simulation(None, ctx)
+    path = str(tmp_path / "t.dcd")
+    rep = DCDReporter(path, 10)
+    sim.reporters.append(rep)
+    sim.step(30)
+    rep.close()
+    raw = open(path, "rb").read()
+    assert raw[4:8] == b"CORD"
+    assert struct.unpack("<i", raw[8:12])[0] == 3
+    off = 4 + 84 + 4 + 4 + 4 + 80 + 4 + 4 + 4 + 4
+    assert struct.unpack("<i", raw[off:off + 4])[0] == 48
+    cell = struct.unpack("<6d", raw[off + 4:off + 52])
+    np.testing.assert_allclose(cell[0], float(box[0]) * 10.0, rtol=1e-6)
+    n = system.n_atoms
+    xoff = off + 56
+    assert struct.unpack("<i", raw[xoff:xoff + 4])[0] == 4 * n
+    x = np.frombuffer(raw[xoff + 4:xoff + 4 + 4 * n], np.float32)
+    assert 0.0 <= x.min() and x.max() <= float(box[0]) * 10.0 + 5.0

@@ -20,7 +20,9 @@ Lz/2 (the implicit second electrode of the doubled-cell image method), and
 the image region fills the upper half.  The liquid never approaches z = 0,
 so wrapped image-parent pairs stay separated.
 
-Usage: python tools/make_edl_model.py [outdir]   (default /tmp/edl_model)
+Usage: python tools/make_edl_model.py [outdir] [nres]
+(default /tmp/edl_model, full liquid; nres limits the number of liquid
+residues per copy for small test systems)
 """
 import os
 import sys
@@ -64,9 +66,31 @@ def parse_gro(path):
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edl_model"
+    nres = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     os.makedirs(out, exist_ok=True)
     atoms, ints = parse_psf(SRC + "topol.psf")
     gro_lines, pos, box = parse_gro(SRC + "conf.gro")
+
+    if nres:
+        # residue-aligned subset for small test systems: residues are
+        # contiguous atom ranges and no bonded term crosses residues
+        keep_res = sorted({int(w[2]) for w in atoms})[:nres]
+        keep = np.asarray([int(w[2]) in keep_res for w in atoms])
+        new_id = np.cumsum(keep)            # 1-based for kept atoms
+        atoms = [list(w) for w, k in zip(atoms, keep) if k]
+        for i, w in enumerate(atoms):
+            w[0] = str(i + 1)
+        pos = pos[keep]
+        for name, per in (("NBOND", 2), ("NTHETA", 3), ("NPHI", 4),
+                          ("NIMPHI", 4)):
+            vals = ints.get(name, [])
+            outv = []
+            for t in range(0, len(vals), per):
+                grp = vals[t:t + per]
+                if all(keep[v - 1] for v in grp):
+                    outv.extend(int(new_id[v - 1]) for v in grp)
+            ints[name] = outv
+
     n_liq0 = len(atoms)
     lz0 = box[2]
 
