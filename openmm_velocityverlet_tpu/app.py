@@ -68,13 +68,21 @@ class Simulation:
         direction whenever curvature information is not yet usable."""
         import jax
         import jax.numpy as jnp
+
+        from .integrators import stepping
         ctx = self.context
         ev = ctx.evaluator
+        data = ctx.data
+        # only massive particles move: virtual sites are re-placed by the
+        # evaluator, image particles re-synced to their parents' mirror
+        # positions (a free image would collapse onto a counter-charge)
+        movable = (np.asarray(ctx.system.inv_masses) > 0)[:, None]
 
         @jax.jit
         def e_and_f(pos, box):
+            pos = stepping.update_image_positions(pos, data)
             terms, f = ev.energy_forces(pos, box)
-            return sum(terms.values()), f
+            return sum(terms.values()), f * movable
 
         pos = ctx.state.pos
         box = ctx.state.box
@@ -143,7 +151,7 @@ class Simulation:
                     y_hist.pop(0)
                     rho_hist.pop(0)
             pos, e, f, g = new_pos, e_new, f_new, g_new
-        ctx.set_positions(pos)
+        ctx.set_positions(stepping.update_image_positions(pos, data))
         return float(e)
 
 

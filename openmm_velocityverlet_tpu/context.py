@@ -71,7 +71,7 @@ class Context:
         self.evaluator = ForceEvaluator(
             system, external_forces, ewald_chunk=ewald_chunk,
             row_block=row_block, pair_ts=pair_ts,
-            box_hint=box)
+            box_hint=box, pos_hint=positions)
 
         n = system.n_atoms
         self.cons = cons_mod.build_constraint_data(

@@ -38,7 +38,7 @@ class ForceEvaluator:
                  external_forces: Sequence[Callable] = (),
                  ewald_chunk: int = 16384, row_block: int = 1024,
                  pair_kernel: str = "auto",
-                 box_hint=None, pair_ts: int = 0, **_legacy):
+                 box_hint=None, pos_hint=None, pair_ts: int = 0, **_legacy):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
@@ -60,11 +60,21 @@ class ForceEvaluator:
         self.band_w = 0
         if box_hint is not None and system.n_atoms > 0:
             lz = float(np.asarray(box_hint).reshape(-1)[2])
-            per_nm = system.n_atoms / lz
-            # cutoff + 0.1 nm sort-staleness skin, 8% density-fluctuation
-            # slack, +1 tile for boundary quantization; the per-step
-            # coverage check poisons the run if this ever under-covers
-            band_atoms = (system.r_cutoff + 0.1) * per_nm * 1.08
+            win = system.r_cutoff + 0.1        # cutoff + sort-staleness skin
+            if pos_hint is not None:
+                # size from the MAX z-local density of the initial
+                # configuration (an EDL slab's liquid region is ~10% denser
+                # than the box mean; the mean-density estimate under-covers
+                # there and the coverage check would poison the run)
+                zw = np.asarray(pos_hint)[:, 2] % lz
+                edges = np.arange(0.0, lz + 0.05, 0.05)
+                hist = np.histogram(zw, bins=edges)[0]
+                kwin = max(1, int(np.ceil(win / 0.05)))
+                wrap = np.concatenate([hist, hist[:kwin]])
+                band_atoms = float(np.convolve(
+                    wrap, np.ones(kwin), mode="valid").max()) * 1.10
+            else:
+                band_atoms = win * (system.n_atoms / lz) * 1.08
             self.band_w = int(np.ceil(band_atoms / self.pair_ts)) + 1
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,

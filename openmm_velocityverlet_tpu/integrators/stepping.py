@@ -49,6 +49,24 @@ def _pair_atom_tables(pairs, n):
     return partner, sign, lowid, in_pair
 
 
+def _partner_rows(x, partner, sign, in_pair):
+    """x[partner] specialized for the common PSF layout where every Drude
+    particle directly follows (or precedes) its parent: the random row
+    gather (~30 us per (20k,3) array on v5e) becomes two contiguous
+    shifts + a select (~3 us) whenever all partner offsets are +-1."""
+    partner = np.asarray(partner)
+    n = partner.shape[0]
+    off = partner - np.arange(n)
+    if in_pair.any() and np.all(np.isin(off[in_pair], (-1, 1))) \
+            and np.all(off[~in_pair] == 0):
+        up = jnp.concatenate([x[1:], x[:1]], axis=0)      # x[i+1]
+        down = jnp.concatenate([x[-1:], x[:-1]], axis=0)  # x[i-1]
+        sel = np.where(off == 1, 1, np.where(off == -1, 2, 0))
+        sel = sel.reshape((n,) + (1,) * (x.ndim - 1))
+        return jnp.where(sel == 1, up, jnp.where(sel == 2, down, x))
+    return x[partner]
+
+
 # ---------------------------------------------------------------- kinetics
 def kinetic_energy(vel, masses):
     return 0.5 * jnp.sum(masses[:, None] * vel * vel)
@@ -86,25 +104,42 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
         com = jnp.zeros((mol_masses.shape[0], 3), vel.dtype)
         vel_rel = vel
 
-    # --- group kinetic energies (2*KE), computeNormalizedKineticEnergies ---
+    # --- per-atom pair decomposition (shared by the KE reductions and the
+    # scale application; one adjacent-partner shift instead of subset
+    # gathers) ---
+    n = vel.shape[0]
     nn = data.nh_normal
-    ke2_atom = jnp.sum(masses[nn] * jnp.sum(vel_rel[nn] ** 2, -1)) if nn.shape[0] else 0.0
+    masses_np = np.asarray(masses)
+    nh_normal_mask = np.zeros(n, bool)
+    if nn.shape[0]:
+        nh_normal_mask[np.asarray(nn)] = True
+    nh_normal_mask &= np.asarray(inv_masses) > 0
+    partner, psign, _, in_pair = _pair_atom_tables(data.nh_pairs, n)
+    if data.nh_pairs.shape[0]:
+        vp = _partner_rows(vel_rel, partner, psign, in_pair)
+        mp = masses_np[partner]
+        mtot = np.maximum(masses_np + mp, 1e-30)
+        mu_a = (masses_np * mp / mtot).astype(np.float32)
+        fself = (masses_np / mtot).astype(np.float32)[:, None]
+        fpart = (mp / mtot).astype(np.float32)[:, None]
+        cm_a = fself * vel_rel + fpart * vp                  # pair COM vel
+        rel_a = psign[:, None] * (vel_rel - vp)              # v_d - v_p
+
+    # --- group kinetic energies (2*KE), computeNormalizedKineticEnergies ---
+    # per-atom masked sums; each pair contributes through both members, so
+    # the pair terms carry a factor 1/2
+    ke2_atom = (jnp.sum(np.where(nh_normal_mask, masses_np, 0.0)[:, None]
+                        * vel_rel * vel_rel) if nn.shape[0] else 0.0)
     if data.use_com_temp_group:
         ke2_com = jnp.sum(jnp.where(data.nh_mol_mask,
                                     mol_masses * jnp.sum(com ** 2, -1), 0.0))
     else:
         ke2_com = 0.0
     if data.nh_pairs.shape[0]:
-        d, p = data.nh_pairs[:, 0], data.nh_pairs[:, 1]
-        m1, m2 = masses[d], masses[p]
-        mtot = m1 + m2
-        f1 = (m1 / mtot)[:, None]
-        f2 = (m2 / mtot)[:, None]
-        cm = vel_rel[d] * f1 + vel_rel[p] * f2
-        rel = vel_rel[d] - vel_rel[p]
-        mu = m1 * m2 / mtot
-        ke2_atom = ke2_atom + jnp.sum(mtot * jnp.sum(cm ** 2, -1))
-        ke2_drude = jnp.sum(mu * jnp.sum(rel ** 2, -1))
+        pair_w = np.where(in_pair, 0.5, 0.0)
+        ke2_atom = ke2_atom + jnp.sum(
+            (pair_w * mtot)[:, None] * cm_a * cm_a)
+        ke2_drude = jnp.sum((pair_w * mu_a)[:, None] * rel_a * rel_a)
     else:
         ke2_drude = 0.0
     ke2 = jnp.stack([jnp.asarray(ke2_atom, vel.dtype),
@@ -120,30 +155,14 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
     s_atom, s_com, s_drude = factors[TG_ATOM], factors[TG_COM], factors[TG_DRUDE]
 
     # --- apply scale (scaleVelocity kernel, drudeNoseHoover.cu:157-209) ---
-    # per-atom formulation: for a pair atom i with partner j,
     # v_i' = s_atom*cm + sign_i * s_drude * rel * m_j/(m_i+m_j) + s_com*vcom
-    # (identical for both pair members up to sign_i) — no scatters.
-    n = vel.shape[0]
     com_term = s_com * com[mol_id] if data.use_com_temp_group else \
         jnp.zeros((1, 1), vel.dtype)
-    masses_np = np.asarray(masses)
-    nh_normal_mask = np.zeros(n, bool)
-    if nn.shape[0]:
-        nh_normal_mask[np.asarray(nn)] = True
-    nh_normal_mask &= np.asarray(inv_masses) > 0
-    partner, psign, _, in_pair = _pair_atom_tables(data.nh_pairs, n)
     new_vel = vel
     if nn.shape[0]:
         upd = s_atom * vel_rel + com_term
         new_vel = jnp.where(nh_normal_mask[:, None], upd, new_vel)
     if data.nh_pairs.shape[0]:
-        vp = vel_rel[partner]
-        mp = masses_np[partner]
-        mtot = masses_np + mp
-        fpart = (mp / np.maximum(mtot, 1e-30)).astype(np.float32)[:, None]
-        cm_a = (masses_np[:, None] * vel_rel + mp[:, None] * vp) \
-            / mtot[:, None]
-        rel_a = psign[:, None] * (vel_rel - vp)
         upd = s_atom * cm_a + (s_drude * rel_a) * (psign[:, None] * fpart) \
             + com_term
         new_vel = jnp.where(in_pair[:, None], upd, new_vel)
@@ -188,7 +207,7 @@ def langevin_ou_update(vel, masses, key, data: IntegratorData):
         mu = np.maximum(masses_np * mp / mtot, 1e-30)
         fself = (masses_np / mtot).astype(np.float32)[:, None]
         fpart = (mp / mtot).astype(np.float32)[:, None]
-        vp = vel[partner]
+        vp = _partner_rows(vel, partner, psign, in_pair)
         cm = fself * vel + fpart * vp
         rel = psign[:, None] * (vel - vp)
         c1c = float(np.exp(-data.friction * dt))
@@ -197,7 +216,14 @@ def langevin_ou_update(vel, masses, key, data: IntegratorData):
                          * (1.0 - c1c * c1c)).astype(np.float32)[:, None]
         sig_rel = np.sqrt(BOLTZ * data.drude_temperature / mu
                           * (1.0 - c1r * c1r)).astype(np.float32)[:, None]
-        xi = jax.random.normal(k1p, (n, 2, 3), vel.dtype)[lowid]
+        xi_raw = jax.random.normal(k1p, (n, 2, 3), vel.dtype)
+        # lowid is self or the adjacent preceding atom: same shift trick
+        low_off = lowid - np.arange(n)
+        if np.all(np.isin(low_off, (0, -1))):
+            down = jnp.concatenate([xi_raw[-1:], xi_raw[:-1]], axis=0)
+            xi = jnp.where((low_off == -1)[:, None, None], down, xi_raw)
+        else:
+            xi = xi_raw[lowid]
         cm = c1c * cm + sig_cm * xi[:, 0]
         rel = c1r * rel + sig_rel * xi[:, 1]
         vel = jnp.where(in_pair[:, None],
@@ -309,8 +335,8 @@ def apply_hardwall(pos, vel, masses, inv_masses, box, data: IntegratorData):
     parent_massless = np.where(
         is_drude[:, 0], inv_np[partner] == 0, inv_np == 0.0)[:, None]
 
-    pp = pos[partner]
-    vp = vel[partner]
+    pp = _partner_rows(pos, partner, psign, in_pair)
+    vp = _partner_rows(vel, partner, psign, in_pair)
     delta = psign[:, None] * (pos - pp)   # pos_d - pos_p, both members
     r = jnp.sqrt(jnp.sum(delta * delta, -1, keepdims=True) + 1e-20)
     viol = (r > dmax) & in_pair[:, None]

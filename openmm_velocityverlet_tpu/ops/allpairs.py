@@ -36,6 +36,9 @@ from ..utils.pbc import minimum_image
 _SQRT_PI = 1.7724538509055159
 
 MAX_EXCL_OFFSET = 31
+# direct-space Coulomb force cap: 1/r^2 clamped at r = 0.045 nm (see
+# _pair_terms) — inside any physical contact distance, far outside f32 risk
+_COUL_F_CAP = (1.0 / 0.045) ** 2
 
 
 def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
@@ -245,7 +248,13 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask,
                + t * (-1.453152027 + t * 1.061405429))))) * expm
     gauss = (2.0 * beta / _SQRT_PI) * expm
     e_coul = qq * erfc_br * inv_r
-    f_coul = qq * (erfc_br * inv_r + gauss) * inv_r2
+    # the direct-space force is capped below r ~ 0.045 nm: legitimate
+    # chemistry never probes there (excluded/Drude pairs take the separate
+    # correction path, which is finite at r -> 0), but a zero-LJ hydrogen
+    # captured by a foreign Drude dipole otherwise overflows f32 and
+    # poisons the run with NaN instead of letting the thermostat recover
+    f_coul = qq * (erfc_br * inv_r + gauss) \
+        * jnp.minimum(inv_r2, _COUL_F_CAP)
     erf_inv_r = (1.0 - erfc_br) * inv_r
     e_corr = -qq * erf_inv_r
     f_corr = -qq * (erf_inv_r - gauss) * inv_r2

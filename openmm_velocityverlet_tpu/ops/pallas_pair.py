@@ -412,17 +412,20 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                        + t * 1.061405429))))) * expm
             gauss = (2.0 * beta / _SQRT_PI) * expm
             e_c = qq * erfc_br * inv_r
-            f_c = (e_c + qq * gauss) * inv_r2
+            f_c = (e_c + qq * gauss) * jnp.minimum(inv_r2, 1.0 / 0.045 ** 2)
             erf_inv_r = (1.0 - erfc_br) * inv_r
             f_x = -qq * (erf_inv_r - gauss) * inv_r2
         else:
-            # poly force path: no exp, no div, no erfc (see _pfit)
+            # poly force path: no exp, no div, no erfc (see _pfit); the
+            # bare-Coulomb part is capped below r ~ 0.045 nm so a zero-LJ
+            # hydrogen captured by a foreign Drude dipole saturates instead
+            # of overflowing f32 (excluded pairs take f_x, finite at r -> 0)
             u = (beta * beta) * r2s
             pp = jnp.float32(pcoef[-1])
             for cof in pcoef[-2::-1]:
                 pp = pp * u + jnp.float32(cof)
             w = qq * (beta * beta * beta) * pp
-            f_c = qq * inv_r * inv_r2 + w
+            f_c = qq * jnp.minimum(inv_r * inv_r2, 1.0 / 0.045 ** 3) + w
             f_x = w
         if test_excl:
             in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
@@ -538,7 +541,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
         # the 1-4 exception path raises simultaneous (ts,ts) liveness past
         # the default 16 MB scoped-vmem limit; v5e has 128 MB of VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT, onehotT,
       bitsT, bits14T, oidT, gonehotT, box)
 

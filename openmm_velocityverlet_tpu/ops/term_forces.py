@@ -373,6 +373,11 @@ def energies_and_forces(pos, box, terms, incidence, total_slots):
     box3 = (box[0], box[1], box[2])
     energies = {}
     forces = jnp.zeros_like(pos)
+    # each overflow scatter rewrites the whole (N,3) output; beyond ~14k
+    # atoms one merged scatter wins (measured -120 us at 19.5k), below it
+    # the per-type scatters fuse away (-65 us at 9k)
+    merge_overflow = pos.shape[0] >= 14000
+    over_parts = []
     for (name, idx, prm, split), (inc_t, over_atoms, overflow) in zip(
             terms, incidence):
         fn, _ = _TERM_FNS[name]
@@ -413,5 +418,12 @@ def energies_and_forces(pos, box, terms, incidence, total_slots):
 
         forces = forces - accumulate(inc_t)
         if overflow.shape[0]:
-            forces = forces.at[over_atoms].add(-accumulate(overflow))
+            if merge_overflow:
+                over_parts.append((over_atoms, accumulate(overflow)))
+            else:
+                forces = forces.at[over_atoms].add(-accumulate(overflow))
+    if over_parts:
+        atoms = np.concatenate([a for a, _ in over_parts])
+        vals = jnp.concatenate([v for _, v in over_parts], axis=0)
+        forces = forces.at[atoms].add(-vals)
     return energies, forces

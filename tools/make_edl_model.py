@@ -8,17 +8,20 @@ synthesized system.  This tool builds one from bundled parts, as text files
 
 * liquid: bulk_Im21's CLPol ionic liquid replicated twice along z
   (18,500 atoms, all Drude machinery intact), residues as in the bulk PSF;
-* electrode: an MoS2-like 3-layer slab (residue MoS2) at the bottom of the
-  box, restrained + Langevin-thermostated by run-edl.py;
+* electrodes: MoS2-like 3-layer slabs (residue MoS2) at BOTH image planes
+  — the doubled-cell mirror construction puts image planes at z = Lz/2 (the
+  mirror) and, through the periodic wrap, at z = 0.  Each slab's surface
+  layer sits exactly on its image plane, so the explicit electrode LJ keeps
+  the liquid from collapsing onto its own images (the image attraction has
+  no repulsive core of its own).  Slabs are restrained + Langevin-
+  thermostated by run-edl.py;
 * images: one massless IMG particle per liquid atom (charges are assigned
-  as -q_parent by run-edl.py's assign_image_charges), placed at the mirror
-  reflection z' = 2*mirror - z.
+  as -q_parent by run-edl.py's assign_image_charges) at z' = 2*mirror - z;
+  they overlap the electrode slabs — "inside the conductor", with img<->mos
+  LJ removed by the interaction groups and zero electrode charges.
 
-Geometry (matching run-edl.py's conventions): the explicit electrode
-occupies z in [0.1, 0.75], the liquid sits on it up to the mirror plane at
-Lz/2 (the implicit second electrode of the doubled-cell image method), and
-the image region fills the upper half.  The liquid never approaches z = 0,
-so wrapped image-parent pairs stay separated.
+Geometry: liquid occupies z in [0.35, Lz/2 - 0.35] between the two slab
+surfaces; the image region fills the upper half of the doubled box.
 
 Usage: python tools/make_edl_model.py [outdir] [nres]
 (default /tmp/edl_model, full liquid; nres limits the number of liquid
@@ -127,22 +130,24 @@ def main():
     dihs = dup_ints("NPHI", 4)
     imps = dup_ints("NIMPHI", 4)
 
-    # ---- electrode slab (MoS2-like, 3 layers at the bottom) ----
+    # ---- electrode slabs (MoS2-like, 3 layers at both image planes) ----
     h_liq = 2 * lz0
-    liq_shift = 0.85
+    liq_shift = 0.35
     liq_pos = liq_pos + [0.0, 0.0, liq_shift]
     nxy = int(round(box[0] / 0.31))
-    layer_z = [0.10, 0.41, 0.72]
-    mirror = liq_shift + h_liq + 0.30
+    mirror = liq_shift + h_liq + 0.35
     lz_total = 2.0 * mirror
+    # surface layers exactly on the image planes (z = 0 wraps; z = mirror)
+    layer_z = [0.0, -0.31, -0.62, mirror, mirror + 0.31, mirror + 0.62]
     elec_pos = []
     elec_types = []
     for li, zz in enumerate(layer_z):
-        t = "S2E" if li != 1 else "MO2"
+        t = "S2E" if li % 3 == 0 else ("MO2" if li % 3 == 1 else "S2E")
         for ix in range(nxy):
             for iy in range(nxy):
                 elec_pos.append([(ix + 0.5 * (li % 2)) * box[0] / nxy,
-                                 (iy + 0.5 * (li % 2)) * box[1] / nxy, zz])
+                                 (iy + 0.5 * (li % 2)) * box[1] / nxy,
+                                 zz % lz_total])
                 elec_types.append(t)
     elec_pos = np.asarray(elec_pos)
     resid = max_resid + 1
