@@ -48,24 +48,16 @@ class ForceEvaluator:
             pair_kernel = ("pallas" if jax.default_backend() != "cpu"
                            else "dense")
         self.pair_kernel = pair_kernel
-        # measured on v5e: (512,512) tiles win below ~14k atoms, (768,768)
-        # above (fewer per-pass overheads outweigh the coarser z-band)
-        self.pair_ts = int(pair_ts) if pair_ts else (
-            768 if system.n_atoms >= 14000 else 512)
-        # z-band width for the sorted Pallas sweep: tiles farther than
-        # band_w in circular z order are provably beyond the cutoff.  Sized
-        # from the mean linear atom density with 15% fluctuation slack plus
-        # a 0.25 nm margin and one quantization tile; a per-step coverage
-        # check backs this up (pallas_pair.direct_space_pallas).
-        self.band_w = 0
+        # band_atoms: atoms inside any (cutoff + sort-staleness skin)
+        # z-window, from the MAX z-local density of the initial
+        # configuration when available (an EDL slab's liquid region is ~10%
+        # denser than the box mean; a mean-density estimate under-covers
+        # there and the coverage check would rightly poison the run)
+        band_atoms = 0.0
         if box_hint is not None and system.n_atoms > 0:
             lz = float(np.asarray(box_hint).reshape(-1)[2])
-            win = system.r_cutoff + 0.1        # cutoff + sort-staleness skin
+            win = system.r_cutoff + 0.1
             if pos_hint is not None:
-                # size from the MAX z-local density of the initial
-                # configuration (an EDL slab's liquid region is ~10% denser
-                # than the box mean; the mean-density estimate under-covers
-                # there and the coverage check would poison the run)
                 zw = np.asarray(pos_hint)[:, 2] % lz
                 edges = np.arange(0.0, lz + 0.05, 0.05)
                 hist = np.histogram(zw, bins=edges)[0]
@@ -75,7 +67,27 @@ class ForceEvaluator:
                     wrap, np.ones(kwin), mode="valid").max()) * 1.10
             else:
                 band_atoms = win * (system.n_atoms / lz) * 1.08
-            self.band_w = int(np.ceil(band_atoms / self.pair_ts)) + 1
+        # pick the tile size minimizing the banded sweep's pair count (the
+        # band width quantizes to whole tiles, so the optimum shifts with
+        # system size and density); the per-step coverage check still
+        # guards the final choice at runtime
+        if pair_ts:
+            self.pair_ts = int(pair_ts)
+        else:
+            best = None
+            for cand in (512, 640, 768):
+                n_pad = -(-system.n_atoms // cand) * cand
+                n_tiles = n_pad // cand
+                w = int(np.ceil(band_atoms / cand)) + 1 if band_atoms else 0
+                if w and pallas_pair.band_eligible(n_pad, cand, w):
+                    cost = n_tiles * (w + 1) * cand * cand
+                else:
+                    cost = n_pad * n_pad // 2
+                if best is None or cost < best[0]:
+                    best = (cost, cand)
+            self.pair_ts = best[1]
+        self.band_w = (int(np.ceil(band_atoms / self.pair_ts)) + 1
+                       if band_atoms else 0)
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed,
