@@ -13,8 +13,10 @@ TPU-tunnel-aware design notes (measured on the axon transport):
 * TPU gathers with *constant* indices compile to a fast pre-scheduled form
   (~15x faster than dynamic-index gathers), which the constant embedding
   also buys us;
-* the nonbonded hot loop is the dense all-pairs sweep (ops/allpairs.py) —
-  no neighbor list, no rebuild cadence, no overflow handling.
+* the nonbonded hot loop is the z-banded sorted Pallas pair sweep
+  (ops/pallas_pair.py) with a semi-static sort cache refreshed every
+  sort_refresh steps; a per-step coverage check replaces neighbor-list
+  overflow handling (ops/allpairs.py is the jnp fallback for CPU tests).
 """
 from __future__ import annotations
 

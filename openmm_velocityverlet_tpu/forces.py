@@ -144,7 +144,8 @@ class ForceEvaluator:
                 pos, box, s.tt_donors, s.tt_charges, s.tt_dipole_mask,
                 s.exclusions, s.tt_b, s.tt_cutoff)
         for i, f in enumerate(self.external_forces):
-            terms[f"external_{i}"] = f(pos, box)
+            if getattr(f, "analytic_force", None) is None:
+                terms[f"external_{i}"] = f(pos, box)
         return sum(terms.values(), jnp.zeros((), pos.dtype)), terms
 
     # -- full evaluation --------------------------------------------------
@@ -197,6 +198,14 @@ class ForceEvaluator:
                 box, s.disp_coef_a2, s.disp_coef_b, s.r_cutoff)
 
         forces = f_direct + f_terms - grad_smooth
+        # externals with hand-written forces (full-N masked elementwise; the
+        # autodiff pullback of their subset gathers is a whole-array
+        # scatter-add, ~0.4 ms at 40k atoms)
+        for i, f in enumerate(self.external_forces):
+            af = getattr(f, "analytic_force", None)
+            if af is not None:
+                terms[f"external_{i}"] = jax.lax.stop_gradient(f(pos, box))
+                forces = forces + af(pos, box)
         forces = vsites.redistribute_forces(
             pos_raw, forces, s.vsite_index, s.vsite_parents, s.vsite_origin_w,
             s.vsite_x_w, s.vsite_y_w, s.vsite_local)

@@ -1,13 +1,17 @@
-"""Dense all-pairs direct-space nonbonded kernel — the TPU-native hot loop.
+"""Dense all-pairs direct-space nonbonded sweep: the shared pair math +
+static-table builder, and the jnp reference/fallback path (CPU tests,
+oversized or band-ineligible systems).  The TPU hot loop is the z-banded
+sorted Pallas kernel in ops/pallas_pair.py, which reuses this module's
+tables and (for exactness tests) matches it bit-for-bit in interpret mode.
 
 The reference's direct space runs inside OpenMM's CUDA tile machinery
 (neighbor lists + warp tiles).  On TPU, random-index gathers are the enemy:
 an (N,K) Verlet-list kernel spends its time in per-element gathers, not
 FLOPs.  For the reference's own workloads the cutoff sphere is a sizable
 fraction of the box (bulk models: r_c = 1.2 nm vs 3.1x3.1x6.1 nm box), so a
-*regular* N^2 sweep is only ~6x the ideal pair count while running at full
-VPU/MXU utilization with zero gathers, no neighbor list, no rebuilds, no
-overflow handling, and exact (not skin-approximated) cutoffs:
+regular sweep over z-sorted tile bands stays within ~5-8x the ideal pair
+count while running at full VPU/MXU utilization with zero gathers, no
+neighbor list and exact (not skin-approximated) cutoffs:
 
 * pair LJ parameters come from a one-hot contraction over the (T,T) OPLS
   tables (handles NBFIX rows exactly; oplspsffile.py:1296-1326) — an MXU

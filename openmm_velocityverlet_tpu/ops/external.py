@@ -1,8 +1,13 @@
 """Auxiliary/external forces — the ommhelper ``force.py`` toolbox.
 
 Each constructor returns an energy closure ``f(pos, box) -> E`` that the
-Context adds to the total potential (forces via jax.grad).  Functional forms
-and conventions follow /root/reference/examples/ommhelper/force.py.
+Context adds to the total potential.  Where the closure also carries an
+``analytic_force(pos, box) -> (N,3)`` attribute, the evaluator uses it
+instead of jax.grad: the autodiff pullback of a subset gather is a
+scatter-add over the whole (N,3) force array (~0.4 ms at 40k atoms on
+v5e), while the analytic forms are full-N masked elementwise expressions.
+Functional forms and conventions follow
+/root/reference/examples/ommhelper/force.py.
 """
 from __future__ import annotations
 
@@ -22,11 +27,21 @@ def spring_self(particles, ref_positions, strength):
     ref = jnp.asarray(np.asarray(ref_positions)[np.asarray(particles)],
                       jnp.float32)
     k = jnp.asarray(strength, jnp.float32)  # (3,) kJ/mol/nm^2
+    n_ref = np.asarray(ref_positions).shape[0]
+    mask = np.zeros(n_ref, np.float32)
+    mask[np.asarray(particles)] = 1.0
+    ref_full = np.zeros((n_ref, 3), np.float32)
+    ref_full[np.asarray(particles)] = np.asarray(ref, np.float32)
 
     def energy(pos, box):
         d = minimum_image(pos[particles] - ref, box)
         return jnp.sum(k[None, :] * d * d)
 
+    def analytic_force(pos, box):
+        d = minimum_image(pos - ref_full, box)
+        return (-2.0 * k[None, :]) * d * mask[:, None]
+
+    energy.analytic_force = analytic_force
     return energy
 
 
@@ -67,6 +82,34 @@ def wall_lj126(particles, axis, bound, epsilon, sigma):
              + jnp.where(x > hi0, elj(rhi), 0.0))
         return jnp.sum(e)
 
+    mask_holder = {}
+
+    def analytic_force(pos, box):
+        n = pos.shape[0]
+        if n not in mask_holder:
+            m = np.zeros(n, np.float32)
+            m[np.asarray(particles)] = 1.0
+            mask_holder[n] = m
+        m = mask_holder[n]
+        x = pos[:, axis]
+        dlo = jnp.maximum(x - lo, 1e-6)
+        dhi = jnp.maximum(hi - x, 1e-6)
+
+        def flj(r, dist):
+            r = jnp.minimum(r, 1e3)      # keep r^12 finite in f32
+            r6 = r ** 6
+            # F = 4 eps (12 r^12 - 6 r^6) / dist, pushing off the wall
+            return 4.0 * epsilon * (12.0 * r6 * r6 - 6.0 * r6) / dist
+
+        inz = m > 0                      # masked atoms beyond a bound would
+        fx = (jnp.where(inz & (x < lo0), flj(sigma / dlo, dlo), 0.0)
+              - jnp.where(inz & (x > hi0), flj(sigma / dhi, dhi), 0.0))
+        f = jnp.zeros_like(pos)
+        unit = np.zeros(3, np.float32)
+        unit[axis] = 1.0
+        return f + fx[:, None] * unit
+
+    energy.analytic_force = analytic_force
     return energy
 
 

@@ -120,3 +120,27 @@ def test_dcd_reporter_writes_valid_frames(tmp_path):
     # first frame cell a == box[0] in Angstrom
     a = struct.unpack("<d", raw[header + 4:header + 12])[0]
     np.testing.assert_allclose(a, box[0] * 10.0, rtol=1e-6)
+
+
+def test_analytic_external_forces_match_autodiff():
+    """spring_self and wall_lj126 analytic forces == -grad of their energy
+    closures (only evaluated in the wall's active zones)."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    n = 40
+    pos = jnp.asarray(rng.uniform(0.2, 2.8, (n, 3)), jnp.float32)
+    box = jnp.asarray([3.0, 3.0, 3.0], jnp.float32)
+    parts = list(range(0, n, 3))
+
+    spring = ext.spring_self(parts, np.asarray(pos), [100.0, 50.0, 200.0])
+    g = jax.grad(lambda p: spring(p, box))(pos + 0.03)
+    f = spring.analytic_force(pos + 0.03, box)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g),
+                               rtol=1e-5, atol=1e-4)
+
+    wall = ext.wall_lj126(parts, 2, (0.0, 3.0), epsilon=2.0, sigma=0.3)
+    g = jax.grad(lambda p: wall(p, box))(pos)
+    f = wall.analytic_force(pos, box)
+    np.testing.assert_allclose(np.asarray(f), -np.asarray(g),
+                               rtol=1e-4, atol=1e-3)
