@@ -285,15 +285,20 @@ class SystemBuilder:
         consx = np.asarray([(c[0], c[1]) for c in self.constraints],
                            np.int32).reshape(-1, 2)
 
-        # dense molecule-member table for scatter-free COM reductions
+        # dense molecule-member table for scatter-free COM reductions;
+        # massless members (virtual sites, image particles) carry no
+        # momentum/mass and only widen the gather, so they are excluded
+        # (every consumer is mass-weighted)
         n_mol_total = int(mol_id.max()) + 1 if n else 0
-        counts = np.bincount(mol_id, minlength=n_mol_total)
-        mmax = int(counts.max()) if n_mol_total else 1
+        massive = masses > 0
+        counts = np.bincount(mol_id[massive], minlength=n_mol_total)
+        mmax = int(counts.max()) if n_mol_total and counts.size else 1
         mol_table = np.full((n_mol_total, max(mmax, 1)), -1, np.int32)
         fill = np.zeros(n_mol_total, np.int32)
         for i, m in enumerate(mol_id):
-            mol_table[m, fill[m]] = i
-            fill[m] += 1
+            if masses[i] > 0:
+                mol_table[m, fill[m]] = i
+                fill[m] += 1
 
         box = np.asarray(box, np.float64)
         if self.use_pme:
