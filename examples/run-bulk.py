@@ -36,6 +36,10 @@ parser.add_argument("--psf", type=str, default="topol.psf")
 parser.add_argument("--prm", type=str, default="ff.prm")
 parser.add_argument("--cpt", type=str)
 parser.add_argument("--min", action="store_true")
+parser.add_argument("--drude-friction", type=float, default=20.0,
+                    help="Drude Langevin friction (1/ps); the reference "
+                    "default is 20. 100 suppresses the kinetic T_Drude "
+                    "discretization elevation at dt >= 1 fs")
 
 
 def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=300, P=1,
@@ -66,20 +70,22 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=300, P=1,
         # path of the VV integrator applied to every particle
         if is_drude:
             integrator.setFriction(5.0)
-            if dt > 0.00075:
+            integrator.setDrudeFriction(args.drude_friction)
+            print(f"Drude Langevin thermostat: 5.0 /ps, "
+                  f"{args.drude_friction} /ps")
+            if dt > 0.00075 and args.drude_friction < 50.0:
                 # CLPol springs sit at omega*dt ~ 1 at 1 fs; the middle
-                # scheme + exact OU map is stable there, but the kinetic
+                # scheme + exact OU map is stable there, but the KINETIC
                 # temperature of the stiff relative DOF carries a
                 # discretization elevation that shrinks with the Drude
-                # friction (TPU spot-run on bulk_Im21, 20 ps: 7 K at the
-                # reference's 20/ps, 2.0 K at 100/ps).
-                integrator.setDrudeFriction(100.0)
-                print("Drude Langevin thermostat: 5.0 /ps, 100 /ps "
-                      "(drude friction raised at dt >= 1 fs to hold "
-                      "T_Drude ~ 1-2 K against the stiff-spring "
-                      "discretization elevation)")
-            else:
-                print("Drude Langevin thermostat: 5.0 /ps, 20 /ps")
+                # friction (TPU spot-run on bulk_Im21, 20 ps: T_Drude 7 K at
+                # the reference's 20/ps, 2.0 K at 100/ps).  Ensemble
+                # observables (density, induced dipoles) are insensitive to
+                # this choice — see tests/test_langevin_mts.py.
+                print("WARNING: at dt >= 1 fs the kinetic T_Drude reads "
+                      "~7 K at 20/ps from stiff-spring discretization; "
+                      "pass --drude-friction 100 to suppress it "
+                      "(configurational sampling is unaffected)")
         else:
             print("Langevin thermostat: 1.0 /ps")
             integrator.setFriction(1.0)

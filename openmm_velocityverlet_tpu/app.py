@@ -50,6 +50,12 @@ class Simulation:
             for r, stop in zip(self.reporters, next_stops):
                 if stop <= chunk:
                     r.report(self)
+        # drain background-IO reporters so everything written during this
+        # call is visible on disk when step() returns
+        for r in self.reporters:
+            flush = getattr(r, "flush", None)
+            if flush is not None:
+                flush()
 
     def save_checkpoint(self, filename):
         save_checkpoint(self.context, filename)
@@ -505,6 +511,15 @@ class DCDReporter:
                 self._fh = open(self._path, "wb")
                 mode = "wb"
             if mode == "r+b":
+                # continue NSET from the existing header so the appended
+                # file's frame count covers pre-restart frames too
+                self._fh.seek(8)
+                self._n_frames = s.unpack("<i", self._fh.read(4))[0]
+                self._fh.seek(188)
+                n_existing = s.unpack("<i", self._fh.read(4))[0]
+                if n_existing != n:
+                    raise ValueError(
+                        f"appending {n} atoms to a DCD with {n_existing}")
                 self._fh.seek(0, 2)
                 self._n_atoms = n
             else:
@@ -538,6 +553,14 @@ class DCDReporter:
             self._queue.put((write_frame, (frame, nset)))
         else:
             write_frame((frame, nset))
+
+    def flush(self):
+        """Block until every queued frame write has hit the file (readers —
+        and the NSET header patch — are only consistent after this)."""
+        if self._queue is not None:
+            self._queue.join()
+        if self._fh is not None:
+            self._fh.flush()
 
     def close(self):
         if self._queue is not None:

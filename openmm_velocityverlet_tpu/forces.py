@@ -136,9 +136,11 @@ class ForceEvaluator:
                 pos, box, s.charges, s.ewald_beta, s.kmax,
                 chunk=self.ewald_chunk)
         if int(np.asarray(s.nbt_idx).max(initial=0)) > 0:
+            # the reference truncates NBTHOLE at a hard-coded 0.5 nm
+            # (oplspsffile.py:1407), not the system cutoff
             terms["nbthole"] = nonbonded.nbthole_energy(
                 pos, box, s.nbt_idx, s.nbt_alpha, s.nbt_coef, s.charges,
-                s.exclusions, s.r_cutoff)
+                s.exclusions, min(0.5, s.r_cutoff))
         if s.tt_donors.shape[0] > 0:
             terms["tt_damping"] = nonbonded.tt_damping_energy(
                 pos, box, s.tt_donors, s.tt_charges, s.tt_dipole_mask,

@@ -78,13 +78,9 @@ class IntegratorData:
     image_pairs: jnp.ndarray      # (I,2) i32 (image, parent)
     electrolyte: jnp.ndarray      # (Ne,) i32
     drude_pairs: jnp.ndarray      # (D,2) i32 — hardwall domain
-    # per-pair spring tables (omega = sqrt(k3/mu), mass fractions, aniso)
+    # per-pair spring frequency omega = sqrt(k3/mu) — stability diagnostics
+    # (stiffness checks, e.g. tests/test_langevin_mts.py)
     pair_omega: jnp.ndarray       # (D,)
-    pair_f1: jnp.ndarray          # (D,) m_d/(m_d+m_p)
-    pair_f2: jnp.ndarray          # (D,) m_p/(m_d+m_p)
-    pair_k1: jnp.ndarray          # (D,) aniso residual spring constants
-    pair_k2: jnp.ndarray          # (D,)
-    pair_aniso: jnp.ndarray       # (D,4) axis atoms, -1 if isotropic
 
 
 class VVIntegrator:
@@ -320,12 +316,8 @@ class VVIntegrator:
             mtot = m_d + m_p
             mu = m_d * m_p / mtot
             pair_omega = np.sqrt(np.maximum(k3_np, 0.0) / np.maximum(mu, 1e-12))
-            pair_f1 = m_d / mtot
-            pair_f2 = m_p / mtot
         else:
             pair_omega = np.zeros((0,), np.float64)
-            pair_f1 = np.zeros((0,), np.float64)
-            pair_f2 = np.zeros((0,), np.float64)
 
         return IntegratorData(
             dt=self.step_size,
@@ -355,10 +347,4 @@ class VVIntegrator:
             electrolyte=arr(self.particles_electrolyte),
             drude_pairs=drude_pairs.astype(np.int32),
             pair_omega=pair_omega.astype(np.float32),
-            pair_f1=pair_f1.astype(np.float32),
-            pair_f2=pair_f2.astype(np.float32),
-            pair_k1=np.asarray(system.drude_k1, np.float32).reshape(-1),
-            pair_k2=np.asarray(system.drude_k2, np.float32).reshape(-1),
-            pair_aniso=np.asarray(system.drude_aniso,
-                                  np.int32).reshape(-1, 4),
         )

@@ -122,6 +122,33 @@ def test_dcd_reporter_writes_valid_frames(tmp_path):
     np.testing.assert_allclose(a, box[0] * 10.0, rtol=1e-6)
 
 
+def test_dcd_reporter_append_continues_nset(tmp_path):
+    """Append-mode restart: NSET in the header must count pre-restart frames
+    too (OpenMM DCDReporter append semantics, run-bulk.py:90)."""
+    import struct
+    from openmm_velocityverlet_tpu.app import DCDReporter, Simulation
+    system, pos, box = make_lj_fluid(n_side=3)
+    integ = VVIntegrator(temperature=120.0, step_size=0.002)
+    ctx = Context(system, integ, positions=pos, box=box)
+    ctx.set_velocities_to_temperature(120.0)
+    sim = Simulation(None, ctx)
+    path = tmp_path / "traj.dcd"
+    rep = DCDReporter(str(path), 10)
+    sim.reporters.append(rep)
+    sim.step(30)
+    rep.close()
+    # restart: new reporter appending to the same file
+    sim.reporters = [DCDReporter(str(path), 10, append=True)]
+    sim.step(20)
+    raw = path.read_bytes()
+    nset = struct.unpack("<i", raw[8:12])[0]
+    assert nset == 5
+    n_atoms = system.n_atoms
+    frame = 56 + 3 * (8 + 4 * n_atoms)
+    header = 92 + 92 + 12
+    assert len(raw) == header + 5 * frame
+
+
 def test_analytic_external_forces_match_autodiff():
     """spring_self and wall_lj126 analytic forces == -grad of their energy
     closures (only evaluated in the wall's active zones)."""
