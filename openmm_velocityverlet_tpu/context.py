@@ -50,6 +50,10 @@ class Carry:
     # z-sort cache for the banded pair sweep (None when banding is off);
     # refreshed every sort_refresh steps inside the step itself
     pair_cache: typing.Any = None
+    # last step's band-coverage flag: True means that step ran the exact
+    # full-sweep fallback and the cache should be rebuilt now (one coverage
+    # check per step total — computed inside the pair sweep, consumed here)
+    cov_bad: typing.Any = None
 
 
 class Context:
@@ -58,7 +62,8 @@ class Context:
                  barostat: Optional[baro_mod.BarostatConfig] = None,
                  positions=None, box=None, row_block: int = 1024,
                  ewald_chunk: int = 4096, sort_refresh: int = 25,
-                 pair_ts: int = 0, **_legacy):
+                 pair_ts: int = 0, fold_exc14: bool = True,
+                 recip: str = "auto", **_legacy):
         # sort_refresh: steps between z-sort cache rebuilds for the banded
         # pair sweep (staleness is safe — the per-step coverage check runs
         # against current positions; 25 amortizes the ~0.33 ms device sort)
@@ -72,8 +77,8 @@ class Context:
         box = np.asarray(box, np.float32)
         self.evaluator = ForceEvaluator(
             system, external_forces, ewald_chunk=ewald_chunk,
-            row_block=row_block, pair_ts=pair_ts,
-            box_hint=box, pos_hint=positions)
+            row_block=row_block, pair_ts=pair_ts, fold_exc14=fold_exc14,
+            recip=recip, box_hint=box, pos_hint=positions)
 
         n = system.n_atoms
         self.cons = cons_mod.build_constraint_data(
@@ -135,7 +140,8 @@ class Context:
                      forces=jnp.zeros((n, 3), f32),
                      forces_extra=jnp.zeros((n, 3), f32),
                      forces_valid=jnp.zeros((), bool),
-                     pair_cache=cache)
+                     pair_cache=cache,
+                     cov_bad=jnp.zeros((), bool))
 
     # --------------------------------------------------------- public API
     def set_positions(self, positions):
@@ -270,13 +276,17 @@ class Context:
         refresh = self.sort_refresh
 
         def refreshed_cache(carry: Carry):
-            """Rebuild the z-sort cache every `refresh` steps (both lax.cond
-            branches are compiled; only one executes per step)."""
+            """Rebuild the z-sort cache every `refresh` steps OR when the
+            previous step's coverage flag says the cached sort no longer
+            band-covered the positions (that step already ran the exact
+            full-sweep fallback, so correctness never depended on the
+            rebuild — this just restores banded speed).  Both lax.cond
+            branches are compiled; only one executes per step."""
             if not uses_band:
                 return None
             st = carry.state
             return jax.lax.cond(
-                st.step % refresh == 0,
+                (st.step % refresh == 0) | carry.cov_bad,
                 lambda a: ev.make_pair_cache(a[0], a[1]),
                 lambda a: carry.pair_cache,
                 (st.pos, st.box))
@@ -356,8 +366,9 @@ class Context:
             st = carry.state
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
-            _, F = ev.energy_forces(pos, box, want_energy=False,
-                                    pair_cache=cache)
+            _, F, cov = ev.energy_forces(pos, box, want_energy=False,
+                                         pair_cache=cache, return_cov=True)
+            carry = carry.replace(cov_bad=cov)
             key, k_l = jax.random.split(st.rng_key)
             if has_extra:
                 # Langevin is applied as an exact OU velocity map in the
@@ -441,8 +452,9 @@ class Context:
                                     0.0, new_err)
                 new_pos = img_pos
             # forces at full-step positions
-            _, F2 = ev.energy_forces(new_pos, box, want_energy=False,
-                                     pair_cache=cache)
+            _, F2, cov = ev.energy_forces(new_pos, box, want_energy=False,
+                                          pair_cache=cache, return_cov=True)
+            carry = carry.replace(cov_bad=cov)
             key, k_l = jax.random.split(st.rng_key)
             Fx2 = (extra_forces(new_pos, vel, box, k_l) if has_extra
                    else jnp.zeros_like(F2))

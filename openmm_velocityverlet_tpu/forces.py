@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops import allpairs, bonded, drude, ewald, nonbonded, pallas_pair, term_forces, vsites
+from .ops import (allpairs, bonded, drude, ewald, nonbonded, pallas_pair,
+                  pme, term_forces, vsites)
 from .system import System
 
 
@@ -38,7 +39,8 @@ class ForceEvaluator:
                  external_forces: Sequence[Callable] = (),
                  ewald_chunk: int = 16384, row_block: int = 1024,
                  pair_kernel: str = "auto",
-                 box_hint=None, pos_hint=None, pair_ts: int = 0, **_legacy):
+                 box_hint=None, pos_hint=None, pair_ts: int = 0,
+                 fold_exc14: bool = True, recip: str = "auto", **_legacy):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
@@ -71,6 +73,10 @@ class ForceEvaluator:
         # band width quantizes to whole tiles, so the optimum shifts with
         # system size and density); the per-step coverage check still
         # guards the final choice at runtime
+        # band_w without the old +1 tile of slack: the in-step coverage
+        # check now triggers a cache rebuild and (if still uncovered) an
+        # exact full-sweep fallback, so a tight band is safe and saves one
+        # whole column tile per row tile (~16% of the kernel at 19.5k)
         if pair_ts:
             self.pair_ts = int(pair_ts)
         else:
@@ -78,7 +84,7 @@ class ForceEvaluator:
             for cand in (512, 640, 768):
                 n_pad = -(-system.n_atoms // cand) * cand
                 n_tiles = n_pad // cand
-                w = int(np.ceil(band_atoms / cand)) + 1 if band_atoms else 0
+                w = int(np.ceil(band_atoms / cand)) if band_atoms else 0
                 if w and pallas_pair.band_eligible(n_pad, cand, w):
                     cost = n_tiles * (w + 1) * cand * cand
                 else:
@@ -86,19 +92,33 @@ class ForceEvaluator:
                 if best is None or cost < best[0]:
                     best = (cost, cand)
             self.pair_ts = best[1]
-        self.band_w = (int(np.ceil(band_atoms / self.pair_ts)) + 1
+        self.band_w = (int(np.ceil(band_atoms / self.pair_ts))
                        if band_atoms else 0)
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed,
             exc_idx=system.exc_idx, exc_qq=system.exc_qq,
             exc_c6=system.exc_c6, exc_c12=system.exc_c12,
-            charges=system.charges)
+            charges=system.charges, fold_exc14=fold_exc14)
         # analytic sparse-term tables (scatter-free bonded/Drude/Thole);
         # regular 1-4 exceptions live in the pair kernel (see
         # allpairs.build_pair_tables), only irregular ones stay here
         self.term_tables = term_forces.build_term_tables(
             system, exc_keep_mask=self.pair_tables["exc_term_mask"])
+        # reciprocal-space method: the exact k-sum matmul (ops/ewald.py) or
+        # FFT PME (ops/pme.py); "auto" picks per system from the measured
+        # cost models (exact wins for every bundled reference workload)
+        self.pme_grid = None
+        if recip == "auto":
+            recip = "exact"
+            if box_hint is not None and system.ewald_beta > 0:
+                recip, _ = pme.choose_reciprocal(
+                    system.n_atoms, system.kmax, np.asarray(box_hint))
+        if recip == "pme":
+            if box_hint is None:
+                raise ValueError("recip='pme' requires box_hint")
+            self.pme_grid = pme.choose_grid(np.asarray(box_hint))
+        self.recip_method = recip
 
     # -- virtual sites ----------------------------------------------------
     def place_vsites(self, pos):
@@ -124,6 +144,13 @@ class ForceEvaluator:
             self.place_vsites(pos_raw), box,
             jnp.asarray(self.system.charges), self.pair_tables, self.pair_ts)
 
+    def pair_cache_stale(self, pos_raw, box, cache):
+        """Device bool: current positions are no longer band-covered under
+        this cache's sort (callers should rebuild the cache)."""
+        return pallas_pair.band_coverage_bad(
+            self.place_vsites(pos_raw), box, cache, self.pair_ts,
+            self.band_w, self.system.r_cutoff)
+
     # -- grad-differentiated terms ---------------------------------------
     def _smooth_energy(self, pos, box):
         """The few remaining terms whose force comes from jax.grad: Ewald
@@ -132,9 +159,14 @@ class ForceEvaluator:
         s = self.system
         terms = {}
         if s.ewald_beta > 0:
-            terms["coul_recip"] = ewald.reciprocal_energy(
-                pos, box, s.charges, s.ewald_beta, s.kmax,
-                chunk=self.ewald_chunk)
+            if self.recip_method == "pme":
+                terms["coul_recip"] = pme.reciprocal_energy_pme(
+                    pos, box, jnp.asarray(s.charges), s.ewald_beta,
+                    self.pme_grid)
+            else:
+                terms["coul_recip"] = ewald.reciprocal_energy(
+                    pos, box, s.charges, s.ewald_beta, s.kmax,
+                    chunk=self.ewald_chunk)
         if int(np.asarray(s.nbt_idx).max(initial=0)) > 0:
             # the reference truncates NBTHOLE at a hard-coded 0.5 nm
             # (oplspsffile.py:1407), not the system cutoff
@@ -152,8 +184,11 @@ class ForceEvaluator:
 
     # -- full evaluation --------------------------------------------------
     def energy_forces(self, pos_raw, box, want_energy: bool = True,
-                      pair_cache=None):
-        """Returns (terms dict incl. every component, forces on real dofs).
+                      pair_cache=None, return_cov: bool = False):
+        """Returns (terms dict incl. every component, forces on real dofs)
+        — plus the band-coverage flag when return_cov=True (the MD step
+        feeds it back as next step's cache-rebuild trigger, so the whole
+        coverage machinery costs ONE check per step).
 
         want_energy=False lets the Pallas pair kernel skip its per-tile
         energy reductions (the MD step consumes only forces; the jnp-side
@@ -162,14 +197,15 @@ class ForceEvaluator:
         """
         s = self.system
         pos = self.place_vsites(pos_raw)
+        cov_bad = jnp.zeros((), bool)
 
         if self.pair_kernel == "pallas":
-            e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
+            e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct, cov_bad = \
                 pallas_pair.direct_space_pallas(
                     pos, box, jnp.asarray(s.charges), self.pair_tables,
                     s.ewald_beta, s.r_cutoff, ts=self.pair_ts,
                     band_w=self.band_w, want_energy=want_energy,
-                    cache=pair_cache)
+                    cache=pair_cache, with_flag=True)
         else:
             e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
                 allpairs.direct_space_dense(
@@ -211,6 +247,8 @@ class ForceEvaluator:
         forces = vsites.redistribute_forces(
             pos_raw, forces, s.vsite_index, s.vsite_parents, s.vsite_origin_w,
             s.vsite_x_w, s.vsite_y_w, s.vsite_local)
+        if return_cov:
+            return terms, forces, cov_bad
         return terms, forces
 
     def potential_energy(self, pos_raw, box):

@@ -48,7 +48,7 @@ _COUL_F_CAP = (1.0 / 0.045) ** 2
 def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
                       lj_group=None, lj_group_allowed=None,
                       exc_idx=None, exc_qq=None, exc_c6=None, exc_c12=None,
-                      charges=None):
+                      charges=None, fold_exc14=True):
     """Host-side static tables for the dense kernel.
 
     Returns dict with:
@@ -171,7 +171,8 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
                     exc_term_mask[j, kk] = False
                     continue
                 qq_reg = 0.5 * ONE_4PI_EPS0 * q[i] * q[j]
-                regular = abs(qq - qq_reg) <= 1e-5 * max(abs(qq_reg), 1e-6)
+                regular = fold_exc14 and \
+                    abs(qq - qq_reg) <= 1e-5 * max(abs(qq_reg), 1e-6)
                 ti, tj = int(lj_type[i]), int(lj_type[j])
                 av, bv = np.sqrt(max(c12, 0.0)), c6
                 if regular and seen[ti, tj]:

@@ -271,7 +271,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                      qT_ref, onehotT_ref, bitsT_ref, bits14T_ref, oidT_ref,
                      gonehotT_ref, box_ref, rows_ref,
                      colacc_ref, *, n, ts, beta, r_cutoff, t_dim, use_groups,
-                     mode, want_energy, has14, pcoef):
+                     mode, want_energy, has14, pcoef, full_sweep=False):
     """Upper-triangle tile sweep: Newton's third law halves the pair work.
 
     TPU grid execution is sequential, so output blocks revisited across the
@@ -295,7 +295,16 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                    (oid_rows/oidT), since sorting scrambles positions but
                    excluded pairs stay spatially (hence z-) close.  Requires
                    n_tiles >= 2W+1 so every unordered tile pair is visited
-                   exactly once.
+                   exactly once.  With full_sweep=True the same enumeration
+                   covers EVERY unordered tile pair (W = n_tiles//2, plus a
+                   dedup guard for even n_tiles where the i+W offset would
+                   visit each pair twice) — the in-step fallback when the
+                   band is too narrow for the current configuration.
+
+    Padding atoms are zero-charge / zero-LJ rows, so their contributions
+    vanish identically (LJ uses the (a/r^6)^2 form, which keeps 0 * inf out
+    of the arithmetic even for coincident pads); only self-pairs
+    (delta == 0) need masking.
 
     want_energy=False skips the three per-tile energy reductions (the MD
     step only consumes forces; energies are a separate query path).
@@ -307,7 +316,11 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
     test_excl = band or bandall
     if bandall:
         j = jax.lax.rem(i + pl.program_id(1), n_tiles)
-        active = jnp.bool_(True)
+        if full_sweep and n_tiles % 2 == 0:
+            # offset n_tiles//2 enumerates each unordered pair twice
+            active = jnp.logical_or(2 * pl.program_id(1) != n_tiles, i < j)
+        else:
+            active = jnp.bool_(True)
         first = pl.program_id(1) == 0
     elif band:
         j = i + pl.program_id(1)
@@ -356,7 +369,8 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         dz = dz - bz * jnp.round(dz * (1.0 / bz))
         r2 = dx * dx + dy * dy + dz * dz
 
-        alive = (row_ids < n) & (col_ids < n)
+        # pads are zero-charge/zero-LJ, so only SELF pairs need masking;
+        # the row_ids/col_ids < n tests are unnecessary (see module doc)
         if test_excl:
             if bandall:
                 # sorted order: exclusion offsets live in ORIGINAL indices
@@ -371,7 +385,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                    (delta <= MAX_EXCL_OFFSET)
             excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
                     (delta >= -MAX_EXCL_OFFSET)
-            alive = alive & (delta != 0)
+            alive = delta != 0
             if has14:
                 b14_rows = bits14_rows_ref[:, :]
                 b14_col = bits14T_ref[:, pl.ds(col0, ts)]
@@ -396,7 +410,10 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         inv_r2 = inv_r * inv_r
         inv_r2_lj = jnp.minimum(inv_r2, 1e6)
         inv_r6 = inv_r2_lj * inv_r2_lj * inv_r2_lj
-        a12 = a * a * (inv_r6 * inv_r6)
+        # (a/r^6)^2 instead of a^2/r^12: keeps coincident zero-LJ pairs
+        # (pads, image charges at t=0) at 0 * finite instead of 0 * inf
+        alj = a * inv_r6
+        a12 = alj * alj
         b6 = b * inv_r6
         e_lj = a12 - b6
         f_lj = (12.0 * a12 - 6.0 * b6) * inv_r2_lj
@@ -439,14 +456,17 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                 b14 = jnp.dot(ab_rows_ref[:, 3 * t_dim:], onehot_c,
                               preferred_element_type=jnp.float32)
                 e14_c = 0.5 * qq * inv_r
-                e14_12 = a14 * a14 * (inv_r6 * inv_r6)
+                a14lj = a14 * inv_r6
+                e14_12 = a14lj * a14lj
                 e14_6 = b14 * inv_r6
                 f14 = (e14_c + 12.0 * e14_12 - 6.0 * e14_6) * inv_r2
                 f_s = f_s + jnp.where(pair14, f14, zero)
                 e14_c_m = jnp.where(pair14, e14_c, zero)
                 e14_l_m = jnp.where(pair14, e14_12 - e14_6, zero)
         else:
-            in_range = alive & (r2 < r_cutoff * r_cutoff)
+            # far tiles: j >= i + 2, so delta != 0 by construction and pads
+            # self-cancel — the only mask is the cutoff itself
+            in_range = r2 < r_cutoff * r_cutoff
             f_s = jnp.where(in_range, f_lj + f_c, zero)
 
         fx = jnp.sum(f_s * dx, axis=1, keepdims=True)
@@ -491,7 +511,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
 def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
               posT, qT, onehotT, bitsT, bits14T, oidT, gonehotT, box, beta,
               r_cutoff, ts, n_real, t_dim, has14, interpret,
-              want_energy=True):
+              want_energy=True, full_sweep=False):
     n_pad = posT.shape[1]
     t2 = ab.shape[1]
     use_groups = gonehotT.shape[0] > 1
@@ -499,7 +519,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
         _pair_tri_kernel, n=n_real, ts=ts, beta=beta, r_cutoff=r_cutoff,
         t_dim=t_dim, use_groups=use_groups, mode=mode,
         want_energy=want_energy, has14=has14,
-        pcoef=_pfit(float(beta), float(r_cutoff)))
+        pcoef=_pfit(float(beta), float(r_cutoff)), full_sweep=full_sweep)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -549,17 +569,23 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "ts", "n_real",
                                     "band_w", "t_dim", "has14",
-                                    "want_energy", "interpret"))
+                                    "want_energy", "interpret", "full_sweep"))
 def _run_tri(pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT,
              onehotT, bitsT, bits14T, oidT, gonehotT, box, beta, r_cutoff,
              ts, n_real, t_dim, has14, band_w=0,
-             want_energy=True, interpret=False):
+             want_energy=True, interpret=False, full_sweep=False):
     n_pad = posT.shape[1]
     n_tiles = n_pad // ts
     banded = band_eligible(n_pad, ts, band_w)
     args = (pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT,
             onehotT, bitsT, bits14T, oidT, gonehotT, box, beta, r_cutoff,
             ts, n_real, t_dim, has14, interpret)
+    if full_sweep:
+        # sorted-layout sweep over EVERY unordered tile pair (the fallback
+        # branch when the band is too narrow for the current configuration)
+        w_full = n_tiles // 2
+        return _tri_call("bandall", (n_tiles, w_full + 1), *args,
+                         want_energy=want_energy, full_sweep=True)
     if banded:
         return _tri_call("bandall", (n_tiles, band_w + 1), *args,
                          want_energy=want_energy)
@@ -578,6 +604,54 @@ def band_eligible(n_pad: int, ts: int, band_w: int) -> bool:
     exactly once (same predicate _run_tri uses)."""
     n_tiles = n_pad // ts
     return band_w >= 1 and n_tiles >= 2 * band_w + 1 and n_tiles >= 3
+
+
+def band_coverage_bad(pos, box, cache: PairCache, ts: int, band_w: int,
+                      r_cutoff: float):
+    """True (device bool) when the banded sweep would MISS an interacting
+    pair for the CURRENT positions under the cached sort: some uncovered
+    tile pair's circular z-interval gap falls within the cutoff.
+
+    Exact even when the cached sort is stale — drift only widens the tile
+    z-intervals it tests.  Intervals are built around each tile's CIRCULAR
+    mean so atoms that wrapped across the z boundary since the sort don't
+    blow a linear [min,max] up to the whole box.  Callers use this both to
+    trigger an in-step cache rebuild and to select the full-sweep fallback
+    branch when even a fresh sort cannot be covered by band_w (density
+    drift under NPT, slab migration during EDL charging)."""
+    n = pos.shape[0]
+    n_pad = cache.perm.shape[0]
+    pad = n_pad - n
+    n_tiles = n_pad // ts
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    lz = box_arr[2]
+    zw = pos[:, 2] - lz * jnp.floor(pos[:, 2] / lz)
+    keys = jnp.concatenate([zw.astype(jnp.float32),
+                            jnp.full((pad,), 1e30, jnp.float32)])
+    skeys = keys[cache.perm].reshape(n_tiles, ts)
+    valid = (cache.perm < n).reshape(n_tiles, ts)
+    nonempty = valid.any(axis=1)
+    two_pi = jnp.float32(2.0 * np.pi)
+    theta = skeys * (two_pi / lz)
+    sn = jnp.sum(jnp.where(valid, jnp.sin(theta), 0.0), axis=1)
+    cs = jnp.sum(jnp.where(valid, jnp.cos(theta), 0.0), axis=1)
+    cmean = jnp.arctan2(sn, cs) * (lz / two_pi)                # (n_tiles,)
+    dev = jnp.mod(skeys - cmean[:, None] + 0.5 * lz, lz) - 0.5 * lz
+    lo = jnp.min(jnp.where(valid, dev, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(valid, dev, -jnp.inf), axis=1)
+    width_bad = (hi - lo) > 0.5 * lz                           # degenerate
+    delta = jnp.mod(cmean[None, :] - cmean[:, None] + 0.5 * lz,
+                    lz) - 0.5 * lz                              # signed j-i
+    gap = jnp.where(delta >= 0,
+                    delta - hi[:, None] + lo[None, :],
+                    -delta - hi[None, :] + lo[:, None])
+    off = (np.arange(n_tiles)[None, :]
+           - np.arange(n_tiles)[:, None]) % n_tiles
+    covered = np.minimum(off, n_tiles - off) <= band_w
+    bad = (~covered) & ((gap <= r_cutoff) | width_bad[:, None]
+                        | width_bad[None, :]) \
+        & nonempty[:, None] & nonempty[None, :]
+    return bad.any()
 
 
 @functools.partial(jax.jit,
@@ -625,7 +699,8 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                         tm: int = 256, tn: int = 512, interpret: bool = False,
                         symmetric: bool = True, ts: int = 512,
                         band_w: int = 0, want_energy: bool = True,
-                        cache: "PairCache | None" = None):
+                        cache: "PairCache | None" = None,
+                        with_flag: bool = False):
     """Drop-in replacement for allpairs.direct_space_dense on TPU.
 
     symmetric=True runs the upper-triangle kernel (half the pair work via
@@ -637,11 +712,12 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
     kernel, so the sort needs no cluster structure.  Pass a PairCache (from
     make_pair_cache, refreshed every few dozen steps) to skip the per-call
     sort and static-table permutation; without one the sort happens here.
-    A per-call coverage check against CURRENT positions poisons the forces
-    with NaN if an uncovered tile pair ever comes within the cutoff (the
-    caller's NaN watchdog turns that into a hard error), which also makes a
-    stale cached sort safe; band_w is sized with slack so a healthy run
-    never trips it."""
+    A per-call coverage check against CURRENT positions (band_coverage_bad)
+    selects an exhaustive full-sweep fallback branch if an uncovered tile
+    pair ever comes within the cutoff, so a stale cached sort or a band
+    narrower than the current density still produces CORRECT forces —
+    callers additionally rebuild the cache when the check trips so the
+    fallback only pays for one step."""
     n = pos.shape[0]
     blk = ts if symmetric else max(tm, tn)
     n_pad = ((n + blk - 1) // blk) * blk
@@ -659,10 +735,6 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         if cache is None:
             cache = make_pair_cache(pos, box_arr, charges, tables, ts)
         invperm = cache.invperm
-        lz = box_arr[2]
-        zw = pos[:, 2] - lz * jnp.floor(pos[:, 2] / lz)
-        keys = jnp.concatenate([zw.astype(jnp.float32),
-                                jnp.full((pad,), 1e30, jnp.float32)])
         pos2d = pos2d[cache.perm]
         q2d, ab, bits2d, grows = cache.q2d, cache.ab, cache.bits2d, \
             cache.grows
@@ -671,38 +743,9 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         qT, bitsT, oidT = cache.qT, cache.bitsT, cache.oidT
         bits14T = cache.bits14T
         onehotT, gonehotT = cache.onehotT, cache.gonehotT
-
-        # coverage check on CURRENT positions: the circular z-interval gap
-        # between every uncovered tile pair must exceed the cutoff (exact
-        # even when the cached sort is stale — drift widens the intervals).
-        # Intervals are built around each tile's CIRCULAR mean so atoms that
-        # wrapped across the z boundary since the sort don't blow a linear
-        # [min,max] up to the whole box.
-        n_tiles = n_pad // ts
-        skeys = keys[cache.perm].reshape(n_tiles, ts)
-        valid = (cache.perm < n).reshape(n_tiles, ts)
-        nonempty = valid.any(axis=1)
-        two_pi = jnp.float32(2.0 * np.pi)
-        theta = skeys * (two_pi / lz)
-        sn = jnp.sum(jnp.where(valid, jnp.sin(theta), 0.0), axis=1)
-        cs = jnp.sum(jnp.where(valid, jnp.cos(theta), 0.0), axis=1)
-        cmean = jnp.arctan2(sn, cs) * (lz / two_pi)            # (n_tiles,)
-        dev = jnp.mod(skeys - cmean[:, None] + 0.5 * lz, lz) - 0.5 * lz
-        lo = jnp.min(jnp.where(valid, dev, jnp.inf), axis=1)
-        hi = jnp.max(jnp.where(valid, dev, -jnp.inf), axis=1)
-        width_bad = (hi - lo) > 0.5 * lz                       # degenerate
-        delta = jnp.mod(cmean[None, :] - cmean[:, None] + 0.5 * lz,
-                        lz) - 0.5 * lz                          # signed j-i
-        gap = jnp.where(delta >= 0,
-                        delta - hi[:, None] + lo[None, :],
-                        -delta - hi[None, :] + lo[:, None])
-        off = (np.arange(n_tiles)[None, :]
-               - np.arange(n_tiles)[:, None]) % n_tiles
-        covered = np.minimum(off, n_tiles - off) <= band_w
-        bad = (~covered) & ((gap <= r_cutoff) | width_bad[:, None]
-                            | width_bad[None, :]) \
-            & nonempty[:, None] & nonempty[None, :]
-        flag = bad.any()
+        # coverage check on CURRENT positions; selects the full-sweep
+        # fallback branch below when the band misses an interacting pair
+        flag = band_coverage_bad(pos, box_arr, cache, ts, band_w, r_cutoff)
     else:
         q2d, ab, bits2d, bits14_2d, onehot2d, grows, gonehot2d = \
             _padded_statics(n, pad, charges, tables)
@@ -719,29 +762,33 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
     if symmetric:
         t_dim = int(np.asarray(tables["arows"]).shape[1])
         has14 = bool(tables.get("has_exc14", False))
-        rows, colacc = _run_tri(pos2d, q2d, ab, bits2d, bits14_2d, oid2d,
-                                grows, posT, qT, onehotT, bitsT, bits14T,
-                                oidT, gonehotT, box_arr,
-                                float(beta), float(r_cutoff), ts, n,
-                                t_dim, has14,
-                                band_w=(band_w if use_band else 0),
-                                want_energy=want_energy,
-                                interpret=interpret)
+        tri_args = (pos2d, q2d, ab, bits2d, bits14_2d, oid2d,
+                    grows, posT, qT, onehotT, bitsT, bits14T,
+                    oidT, gonehotT, box_arr)
+        tri_kw = dict(beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
+                      n_real=n, t_dim=t_dim, has14=has14,
+                      want_energy=want_energy, interpret=interpret)
         if use_band:
+            # banded sweep, with the exhaustive sorted-layout sweep as the
+            # lax.cond fallback whenever the coverage check trips (stale
+            # sort is handled upstream by a cache rebuild; this branch
+            # covers a band too narrow for the current density) — the step
+            # stays CORRECT, merely slower, instead of NaN-poisoning
+            rows, colacc = jax.lax.cond(
+                flag,
+                lambda a: _run_tri(*a, band_w=0, full_sweep=True, **tri_kw),
+                lambda a: _run_tri(*a, band_w=band_w, **tri_kw),
+                tri_args)
             f_full = rows[:, :3] + colacc[:3, :].T
             forces = f_full[invperm][:n]
         else:
+            rows, colacc = _run_tri(*tri_args, band_w=0, **tri_kw)
             forces = rows[:n, :3] + colacc[:3, :n].T
         e_lj = jnp.sum(rows[:, 3])
         e_coul = jnp.sum(rows[:, 4])
         e_corr = jnp.sum(rows[:, 5])
         e14_coul = jnp.sum(rows[:, 6])
         e14_lj = jnp.sum(rows[:, 7])
-        if use_band:
-            poison = jnp.where(flag, jnp.float32(jnp.nan), jnp.float32(0.0))
-            forces = forces + poison
-            e_lj = e_lj + poison
-            e_coul = e_coul + poison
     else:
         if tables.get("has_exc14", False):
             raise NotImplementedError(
@@ -786,4 +833,9 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         e_corr = e_corr + jnp.sum(e_corr_r)
         f_adj = (f_corr_only - f_direct_only)[:, None] * dr
         forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
+    if with_flag:
+        # device bool: this call took the full-sweep fallback; the caller
+        # should rebuild its sort cache before the next step
+        cov = flag if flag is not None else jnp.zeros((), bool)
+        return e_lj, e_coul, e_corr, e14_coul, e14_lj, forces, cov
     return e_lj, e_coul, e_corr, e14_coul, e14_lj, forces

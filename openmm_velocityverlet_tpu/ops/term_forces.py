@@ -319,9 +319,15 @@ def build_term_tables(system, exc_keep_mask=None):
     n = s.n_atoms
     # PER-TYPE incidence tables: each term type's flat contribution array
     # (NT*P, 3) stays small enough to remain VMEM-resident during its
-    # per-column accumulation gathers — one global concatenated array stops
-    # fitting beyond ~10k atoms and every gather then degrades to random
-    # 12-byte HBM reads (measured 20-30x slower at 19.5k atoms).
+    # accumulation gather — one global concatenated array stops fitting
+    # beyond ~10k atoms and the gather then degrades to random 12-byte HBM
+    # reads (measured 20-30x slower at 19.5k atoms).
+    #
+    # Atoms with more than k1 incident slots get ONE "combined" slot: their
+    # excess contributions are pre-summed into an extension of the flat
+    # array via a second (H,k2) gather, so the whole accumulation is
+    # gather-only — the old overflow scatter-add alone cost ~0.2 ms/step at
+    # 19.5k atoms.
     incidences = []
     total = 0
     for name, idx, prm, _split in terms:
@@ -335,51 +341,46 @@ def build_term_tables(system, exc_keep_mask=None):
                     entries[a].append(t * p + sl)            # term-major
         counts = np.array([len(e) for e in entries], np.int32)
         kmax = max(int(counts.max()) if n else 1, 1)
-        # split chosen to minimize exact gathered-row volume
+        # split chosen to minimize exact gathered-row volume: overflow
+        # atoms keep k1-1 direct slots + 1 combined slot of the rest
         best, k1 = None, kmax
         for cand in range(1, kmax + 1):
-            over = counts[counts > cand]
-            vol = n * cand + (len(over) * int(over.max() - cand)
+            over = counts[counts >= cand + 1]
+            vol = n * cand + (len(over) * int(over.max() - cand + 1)
                               if len(over) else 0)
             if best is None or vol < best:
                 best, k1 = vol, cand
         incidence = np.full((n, k1), -1, np.int32)
         over_rows = []
-        over_atoms = []
         for i, e in enumerate(entries):
-            incidence[i, :min(len(e), k1)] = e[:k1]
-            if len(e) > k1:
-                over_atoms.append(i)
-                over_rows.append(e[k1:])
+            if len(e) <= k1:
+                incidence[i, :len(e)] = e
+            else:
+                incidence[i, :k1 - 1] = e[:k1 - 1]
+                incidence[i, k1 - 1] = nt * p + len(over_rows)
+                over_rows.append(e[k1 - 1:])
         if over_rows:
             k2 = max(len(r) for r in over_rows)
-            overflow = np.full((len(over_rows), k2), -1, np.int32)
+            combine = np.full((len(over_rows), k2), -1, np.int32)
             for r, e in enumerate(over_rows):
-                overflow[r, :len(e)] = e
-            over_atoms = np.asarray(over_atoms, np.int32)
+                combine[r, :len(e)] = e
         else:
-            overflow = np.zeros((0, 1), np.int32)
-            over_atoms = np.zeros((0,), np.int32)
-        incidences.append((incidence, over_atoms, overflow))
+            combine = np.zeros((0, 1), np.int32)
+        incidences.append((incidence, combine))
     return terms, incidences, total
 
 
 def energies_and_forces(pos, box, terms, incidence, total_slots):
     """Returns (dict of per-type energy sums, (N,3) forces).
 
-    ``incidence`` = per-term-type list of (primary (N,K1), overflow_atoms,
-    overflow (H,K2)) tables indexing that type's flat contribution array.
+    ``incidence`` = per-term-type list of (primary (N,K1), combine (H,K2))
+    tables; combine rows pre-sum excess contributions into an extension of
+    the flat array, so accumulation is gather-only (no scatter).
     """
     box3 = (box[0], box[1], box[2])
     energies = {}
     forces = jnp.zeros_like(pos)
-    # each overflow scatter rewrites the whole (N,3) output; beyond ~14k
-    # atoms one merged scatter wins (measured -120 us at 19.5k), below it
-    # the per-type scatters fuse away (-65 us at 9k)
-    merge_overflow = pos.shape[0] >= 14000
-    over_parts = []
-    for (name, idx, prm, split), (inc_t, over_atoms, overflow) in zip(
-            terms, incidence):
+    for (name, idx, prm, split), (inc_t, combine) in zip(terms, incidence):
         fn, _ = _TERM_FNS[name]
         mask = (idx[:, 0] >= 0)
         # ONE row-shaped gather per term type (fast TPU lowering); the math
@@ -404,26 +405,16 @@ def energies_and_forces(pos, box, terms, incidence, total_slots):
                          for gx, gy, gz in grads], axis=1)
         flat = g_t.reshape(-1, 3)
 
-        def accumulate(table):
-            # unrolled per-column (rows, 3) gathers: a single (rows, K, 3)
-            # gather forces a transposing relayout copy of its output, and
-            # the per-type flat source stays VMEM-resident
-            acc = None
-            for k in range(table.shape[1]):
-                col = table[:, k]
-                g = jnp.where((col >= 0)[:, None],
-                              flat[np.maximum(col, 0)], 0.0)
-                acc = g if acc is None else acc + g
-            return acc
+        def gather_sum(table, src):
+            # ONE flattened-index gather + free reshape + one reduce: same
+            # row count as per-column gathers but a single fusion, and no
+            # (rows, K, 3) gather (whose output layout forces a relayout)
+            rows, k = table.shape
+            g = src[np.maximum(table, 0).reshape(-1)]       # (rows*k, 3)
+            g = jnp.where((table >= 0).reshape(-1, 1), g, 0.0)
+            return g.reshape(rows, k, 3).sum(axis=1)
 
-        forces = forces - accumulate(inc_t)
-        if overflow.shape[0]:
-            if merge_overflow:
-                over_parts.append((over_atoms, accumulate(overflow)))
-            else:
-                forces = forces.at[over_atoms].add(-accumulate(overflow))
-    if over_parts:
-        atoms = np.concatenate([a for a, _ in over_parts])
-        vals = jnp.concatenate([v for _, v in over_parts], axis=0)
-        forces = forces.at[atoms].add(-vals)
+        if combine.shape[0]:
+            flat = jnp.concatenate([flat, gather_sum(combine, flat)], axis=0)
+        forces = forces - gather_sum(inc_t, flat)
     return energies, forces

@@ -49,6 +49,44 @@ def test_bulk_model_loads_and_evaluates(name):
             f"{name}.{key}: engine={got!r} golden={ref!r} (tol {tol:.3g})")
 
 
+@pytest.mark.skipif(not os.path.isdir(MODELS), reason="reference data absent")
+def test_ewald_kmax_holds_under_barostat_box_drift():
+    """NPT <-> Ewald consistency (SURVEY section 7.4-4): beta/kmax are fixed
+    from the build-time box while the MC barostat moves it.  Rescaling the
+    bulk_Im21 box by +-1% (3x the +-0.3% band observed over 1 ns of NPT)
+    must keep the build-time-kmax reciprocal energy within the golden-lock
+    tolerance of a freshly-parameterized evaluation."""
+    import jax.numpy as jnp
+
+    from openmm_velocityverlet_tpu.models.grofile import GroFile
+    from openmm_velocityverlet_tpu.models.prmfile import CharmmParameterSet
+    from openmm_velocityverlet_tpu.models.psffile import OplsPsfFile
+    from openmm_velocityverlet_tpu.ops import ewald
+
+    d = os.path.join(MODELS, "bulk_Im21")
+    gro = GroFile(os.path.join(d, "conf.gro"))
+    psf = OplsPsfFile(os.path.join(d, "topol.psf"),
+                      periodicBoxVectors=gro.getPeriodicBoxVectors())
+    prm = CharmmParameterSet(os.path.join(d, "ff.prm"))
+    built = psf.createSystem(prm, nonbondedCutoff=1.2, constraints="HBonds",
+                             rigidWater=True)
+    s = built.system
+    box0 = np.asarray(gro.box, np.float64)
+    pos0 = np.asarray(gro.positions, np.float64)
+    q = jnp.asarray(s.charges)
+    for scale in (0.99, 1.01):
+        box = jnp.asarray(box0 * scale, jnp.float32)
+        pos = jnp.asarray(pos0 * scale, jnp.float32)
+        e_build_kmax = float(ewald.reciprocal_energy(
+            pos, box, q, s.ewald_beta, s.kmax))
+        _, kmax_new = ewald.ewald_parameters(s.r_cutoff, box=box0 * scale)
+        e_fresh_kmax = float(ewald.reciprocal_energy(
+            pos, box, q, s.ewald_beta, kmax_new))
+        tol = max(1e-4 * abs(e_fresh_kmax), 2.0)
+        assert abs(e_build_kmax - e_fresh_kmax) <= tol, (
+            scale, e_build_kmax, e_fresh_kmax, s.kmax, kmax_new)
+
+
 def test_local_coordinates_vsite_placement_and_force_transfer():
     """LocalCoordinatesSite lone-pair parity (oplspsffile.py:964-992):
     placement in the parent frame and J^T force redistribution."""

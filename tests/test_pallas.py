@@ -131,16 +131,27 @@ def test_pallas_banded_stale_cache_matches_dense():
                                rtol=1e-3, atol=5e-2)
 
 
-def test_pallas_band_coverage_flag_poisons():
-    """An undersized band width must poison the forces with NaN instead of
-    silently dropping in-cutoff pairs."""
+def test_pallas_band_coverage_fallback_stays_exact():
+    """An undersized band width must trip the coverage check and take the
+    exhaustive full-sweep fallback — results stay EXACT (the old behavior
+    was NaN-poisoning, which silently killed reporter-less runs and any
+    NPT/EDL run whose density drifted past the initial band sizing)."""
     rng = np.random.default_rng(4)
     lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
     tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl)
+    # the check itself must trip for this undersized band
+    cache = pallas_pair.make_pair_cache(posj, box, qj, tables, 128)
+    assert bool(pallas_pair.band_coverage_bad(posj, box, cache, 128, 1, 1.2))
     out = pallas_pair.direct_space_pallas(
-        jnp.asarray(pos, jnp.float32), box, jnp.asarray(q, jnp.float32),
-        tables, 2.2, 1.2, ts=128, interpret=True, band_w=1)
-    assert not bool(np.isfinite(np.asarray(out[5])).all())
+        posj, box, qj, tables, 2.2, 1.2, ts=128, interpret=True, band_w=1)
+    ref = allpairs.direct_space_dense(posj, box, qj, tables, 2.2, 1.2)
+    for got, want, tol in zip(out[:3], ref[:3], (2e-2, 2e-2, 2e-2)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=tol, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out[5]), np.asarray(ref[5]),
+                               rtol=2e-3, atol=2e-1)
 
 
 def test_pallas_exc14_matches_dense_and_term_pass():

@@ -1,0 +1,142 @@
+"""FFT PME reciprocal space vs the exact k-space sum (ops/ewald.py).
+
+The exact sum is the engine's primary reciprocal path (one fused MXU
+matmul); PME provides asymptotic parity with the reference's OpenMM PME
+(oplspsffile.py:1174-1187).  These tests lock the two paths against each
+other at the 1e-4 golden tolerance on both synthetic charges and the real
+bulk_Im21 model.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmm_velocityverlet_tpu.ops import ewald, pme
+
+MODELS = "/root/reference/examples/models"
+
+
+def _random_system(n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    box = np.array([3.0, 3.2, 6.0], np.float64)
+    pos = rng.uniform(0, 1, (n, 3)) * box
+    q = rng.normal(0, 1, n)
+    q -= q.mean()
+    return (jnp.asarray(pos, jnp.float32), jnp.asarray(box, jnp.float32),
+            jnp.asarray(q, jnp.float32))
+
+
+def test_pme_energy_matches_exact_sum():
+    pos, box, q = _random_system()
+    beta, kmax = ewald.ewald_parameters(1.2, box=np.asarray(box))
+    e_exact = float(ewald.reciprocal_energy(pos, box, q, beta, kmax))
+    grid = pme.choose_grid(np.asarray(box), 0.10)
+    e_pme = float(pme.reciprocal_energy_pme(pos, box, q, beta, grid))
+    assert abs(e_pme - e_exact) <= 1e-4 * abs(e_exact)
+
+
+def test_pme_binned_spreading_matches_scatter():
+    """The scatter-free z-binned spreading (sort-by-cell + batched matmuls)
+    is numerically identical to the scatter reference path."""
+    pos, box, q = _random_system(seed=3)
+    beta, _ = ewald.ewald_parameters(1.2, box=np.asarray(box))
+    grid = pme.choose_grid(np.asarray(box), 0.10)
+    bins, overflow = pme._plane_binned_tables(pos[:, 2], box[2], grid[2],
+                                              m_cap=48)
+    assert not bool(overflow)
+    e_s = float(pme.reciprocal_energy_pme(pos, box, q, beta, grid))
+    e_b = float(pme.reciprocal_energy_pme(pos, box, q, beta, grid,
+                                          bins=bins))
+    np.testing.assert_allclose(e_b, e_s, rtol=1e-5)
+
+
+def test_pme_forces_match_exact_sum():
+    pos, box, q = _random_system(seed=5)
+    beta, kmax = ewald.ewald_parameters(1.2, box=np.asarray(box))
+    grid = pme.choose_grid(np.asarray(box), 0.08)
+    g_ex = jax.grad(lambda p: ewald.reciprocal_energy(
+        p, box, q, beta, kmax))(pos)
+    g_pm = jax.grad(lambda p: pme.reciprocal_energy_pme(
+        p, box, q, beta, grid))(pos)
+    scale = float(jnp.abs(g_ex).max())
+    np.testing.assert_allclose(np.asarray(g_pm), np.asarray(g_ex),
+                               atol=1.5e-3 * scale)
+
+
+@pytest.mark.skipif(not os.path.isdir(MODELS), reason="reference data absent")
+def test_pme_matches_exact_on_bulk_im21():
+    """1e-4 agreement on the real 9,250-atom polarizable model (the
+    VERDICT round-2 'done' criterion for the PME item)."""
+    from openmm_velocityverlet_tpu.models.grofile import GroFile
+    from openmm_velocityverlet_tpu.models.prmfile import CharmmParameterSet
+    from openmm_velocityverlet_tpu.models.psffile import OplsPsfFile
+
+    d = os.path.join(MODELS, "bulk_Im21")
+    gro = GroFile(os.path.join(d, "conf.gro"))
+    psf = OplsPsfFile(os.path.join(d, "topol.psf"),
+                      periodicBoxVectors=gro.getPeriodicBoxVectors())
+    prm = CharmmParameterSet(os.path.join(d, "ff.prm"))
+    built = psf.createSystem(prm, nonbondedCutoff=1.2, constraints="HBonds",
+                             rigidWater=True)
+    s = built.system
+    pos = jnp.asarray(gro.positions, jnp.float32)
+    box = jnp.asarray(gro.box, jnp.float32)
+    q = jnp.asarray(s.charges)
+    e_exact = float(ewald.reciprocal_energy(pos, box, q, s.ewald_beta,
+                                            s.kmax))
+    grid = pme.choose_grid(np.asarray(gro.box), 0.10)
+    bins, overflow = pme._plane_binned_tables(
+        pos[:, 2], box[2], grid[2],
+        m_cap=int(4 * s.n_atoms / grid[2] * 2))
+    assert not bool(overflow)
+    e_pme = float(pme.reciprocal_energy_pme(pos, box, q, s.ewald_beta, grid,
+                                            bins=bins))
+    assert abs(e_pme - e_exact) <= 1e-4 * abs(e_exact), (e_pme, e_exact)
+
+
+def test_context_runs_with_pme_reciprocal():
+    """End-to-end: a Context built with recip='pme' steps stably and its
+    total Coulomb energy matches the exact-sum context at golden tolerance."""
+    from openmm_velocityverlet_tpu import Context, SystemBuilder, VVIntegrator
+
+    rng = np.random.default_rng(11)
+    b = SystemBuilder()
+    n_side = 5
+    n = n_side ** 3
+    for i in range(n):
+        b.add_particle(39.948, charge=(0.2 if i % 2 == 0 else -0.2),
+                       lj_type=0)
+    b.set_lj_from_type_params([0.34], [0.996])
+    box = np.array([n_side * 0.4] * 3)
+    pos = np.stack(np.meshgrid(
+        *[np.arange(n_side) * 0.4 + 0.2] * 3, indexing="ij"),
+        -1).reshape(-1, 3)
+    pos += rng.normal(0, 0.01, pos.shape)
+    system = b.finalize(box, r_cutoff=0.9, use_pme=True)
+    integ = VVIntegrator(temperature=120.0, step_size=0.002)
+    ctx_pme = Context(system, integ, positions=pos, box=box, recip="pme")
+    assert ctx_pme.evaluator.recip_method == "pme"
+    ctx_ex = Context(system, VVIntegrator(temperature=120.0,
+                                          step_size=0.002),
+                     positions=pos, box=box, recip="exact")
+    t_pme = ctx_pme.potential_energy_terms()
+    t_ex = ctx_ex.potential_energy_terms()
+    # this 2 nm toy box compiles to a coarse (20,20,20) mesh; the realistic
+    # 1e-4 agreement is pinned on bulk_Im21 above
+    ref = abs(t_ex["coul_recip"]) + 1.0
+    assert abs(t_pme["coul_recip"] - t_ex["coul_recip"]) <= 1e-3 * ref
+    ctx_pme.set_velocities_to_temperature(120.0)
+    ctx_pme.step(50)
+    assert np.isfinite(ctx_pme.kinetic_energy())
+
+
+def test_choose_reciprocal_prefers_exact_at_reference_scale():
+    """The cost model keeps the exact sum for every bundled workload size
+    and switches to PME only for very large boxes."""
+    method, _ = pme.choose_reciprocal(20000, (6, 6, 27), [3.4, 3.4, 15.0])
+    assert method == "exact"
+    method_big, _ = pme.choose_reciprocal(
+        500000, (40, 40, 40), [40.0, 40.0, 40.0])
+    assert method_big == "pme"

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--ts", type=int, default=0)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--dump-hlo", default="")
     args = ap.parse_args()
 
     from openmm_velocityverlet_tpu import Context, VVIntegrator
@@ -69,6 +70,9 @@ def main():
     # ---- HLO source attribution ----
     hlo = ctx._compiled["step_n"].lower(
         ctx._carry, ctx._chunk_scalars[args.steps]).compile().as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo)
     src = {}
     pat = re.compile(r"%?([\w.-]+) = .*metadata=\{([^}]*)\}")
     fpat = re.compile(r'source_file="([^"]*)".*?source_line=(\d+)')
@@ -86,6 +90,37 @@ def main():
         op = om.group(1).split("/")[-1] if om else ""
         if name not in src:
             src[name] = f"{loc} {op}"
+
+    # ---- deep attribution: map each fusion to the source lines of the
+    # interesting ops (gather/scatter/dot/reduce) INSIDE its fused
+    # computation (the fusion root's own metadata usually points at the
+    # fori_loop body, which is useless) ----
+    fus_calls = {}
+    for m in re.finditer(r"%?([\w.-]+) = [^=]*fusion\([^)]*\).*?calls=%?"
+                         r"([\w.-]+)", hlo):
+        fus_calls[m.group(1)] = m.group(2)
+    comp_info = {}
+    cur = None
+    for line in hlo.splitlines():
+        cm = re.match(r"%?([\w.-]+) \(", line)
+        if cm and ("fused_computation" in cm.group(1)
+                   or line.startswith(("%", "ENTRY"))):
+            cur = cm.group(1)
+            comp_info[cur] = []
+        if cur is None:
+            continue
+        im = re.search(r"= ([\w\[\]{},0-9]+) (gather|scatter|dot|"
+                       r"dynamic-slice|iota|reduce)\(", line)
+        if im:
+            fm = fpat.search(line)
+            loc = (f"{os.path.basename(fm.group(1))}:{fm.group(2)}"
+                   if fm else "?")
+            comp_info[cur].append(f"{im.group(2)}{im.group(1)} @{loc}")
+    deep = {}
+    for fname, cname in fus_calls.items():
+        hits = comp_info.get(cname, [])
+        if hits:
+            deep[fname] = " | ".join(hits[:3])
 
     tr = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
                           recursive=True))[-1]
@@ -115,8 +150,9 @@ def main():
         if name.startswith(("copy-start", "copy-done")) or per < 2.0:
             continue
         shown += per
+        detail = deep.get(name) or src.get(name, "?")
         print(f"{per:9.2f} {pct:5.1f} {cnt[name]//args.steps:3d}  "
-              f"{name[:28]:28s} {src.get(name, '?')[:70]}")
+              f"{name[:28]:28s} {detail[:110]}")
     print(f"\n(shown {shown:.1f} us/step of {total/args.steps:.1f})")
 
 
