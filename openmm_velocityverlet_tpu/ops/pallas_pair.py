@@ -269,9 +269,10 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
 def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                      bits14_rows_ref, oid_rows_ref, grows_ref, posT_ref,
                      qT_ref, onehotT_ref, bitsT_ref, bits14T_ref, oidT_ref,
-                     gonehotT_ref, box_ref, rows_ref,
+                     gonehotT_ref, box_ref, row_off_ref, rows_ref,
                      colacc_ref, *, n, ts, beta, r_cutoff, t_dim, use_groups,
-                     mode, want_energy, has14, pcoef, full_sweep=False):
+                     mode, want_energy, has14, pcoef, full_sweep=False,
+                     n_tiles_g=0):
     """Upper-triangle tile sweep: Newton's third law halves the pair work.
 
     TPU grid execution is sequential, so output blocks revisited across the
@@ -315,10 +316,16 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
     bandall = mode == "bandall"
     test_excl = band or bandall
     if bandall:
-        j = jax.lax.rem(i + pl.program_id(1), n_tiles)
-        if full_sweep and n_tiles % 2 == 0:
-            # offset n_tiles//2 enumerates each unordered pair twice
-            active = jnp.logical_or(2 * pl.program_id(1) != n_tiles, i < j)
+        # global row tile index: under a row-sharded mesh each shard sweeps
+        # a local grid; row_off (SMEM scalar) shifts into the global tile
+        # numbering and n_tiles_g is the GLOBAL tile count (the column
+        # tables are full-length on every shard)
+        ntg = n_tiles_g if n_tiles_g else n_tiles
+        gi = i + row_off_ref[0]
+        j = jax.lax.rem(gi + pl.program_id(1), ntg)
+        if full_sweep and ntg % 2 == 0:
+            # offset ntg//2 enumerates each unordered pair twice
+            active = jnp.logical_or(2 * pl.program_id(1) != ntg, gi < j)
         else:
             active = jnp.bool_(True)
         first = pl.program_id(1) == 0
@@ -330,6 +337,8 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         j = pl.program_id(1)
         active = j >= i + 2
         first = j == 0
+
+    diag = (gi == j) if bandall else (i == j)
 
     @pl.when(jnp.logical_and(i == 0, pl.program_id(1) == 0))
     def _init_colacc():
@@ -473,7 +482,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         fy = jnp.sum(f_s * dy, axis=1, keepdims=True)
         fz = jnp.sum(f_s * dz, axis=1, keepdims=True)
         if want_energy:
-            half = jnp.where(i == j, 0.5, 1.0) if test_excl else 1.0
+            half = jnp.where(diag, 0.5, 1.0) if test_excl else 1.0
             if test_excl:
                 e_x = -qq * erf_inv_r
                 ecorr = half * jnp.sum(jnp.where(corr, e_x, zero), axis=1,
@@ -487,7 +496,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         else:
             elj = ecoul = ecorr = jnp.zeros((ts, 1), jnp.float32)
         if want_energy and test_excl and has14:
-            half14 = jnp.where(i == j, 0.5, 1.0)
+            half14 = jnp.where(diag, 0.5, 1.0)
             e14c_s = half14 * jnp.sum(e14_c_m, axis=1, keepdims=True)
             e14l_s = half14 * jnp.sum(e14_l_m, axis=1, keepdims=True)
         else:
@@ -496,7 +505,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             [fx, fy, fz, elj, ecoul, ecorr, e14c_s, e14l_s], axis=1)
         rows_ref[:, :] = rows_ref[:, :] + block
 
-        @pl.when(jnp.logical_not(jnp.logical_and(test_excl, i == j)))
+        @pl.when(jnp.logical_not(jnp.logical_and(test_excl, diag)))
         def _acc_cols():
             # column-side reaction forces (Newton's third law)
             gx = -jnp.sum(f_s * dx, axis=0, keepdims=True)       # (1,ts)
@@ -511,7 +520,8 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
 def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
               posT, qT, onehotT, bitsT, bits14T, oidT, gonehotT, box, beta,
               r_cutoff, ts, n_real, t_dim, has14, interpret,
-              want_energy=True, full_sweep=False):
+              want_energy=True, full_sweep=False, row_off=None,
+              n_tiles_g=0):
     n_pad = posT.shape[1]
     t2 = ab.shape[1]
     use_groups = gonehotT.shape[0] > 1
@@ -519,7 +529,12 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
         _pair_tri_kernel, n=n_real, ts=ts, beta=beta, r_cutoff=r_cutoff,
         t_dim=t_dim, use_groups=use_groups, mode=mode,
         want_energy=want_energy, has14=has14,
-        pcoef=_pfit(float(beta), float(r_cutoff)), full_sweep=full_sweep)
+        pcoef=_pfit(float(beta), float(r_cutoff)), full_sweep=full_sweep,
+        n_tiles_g=n_tiles_g)
+    if row_off is None:
+        row_off = jnp.zeros((1,), jnp.int32)
+    else:
+        row_off = jnp.asarray(row_off, jnp.int32).reshape(1)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -546,6 +561,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((ts, 8), lambda i, j: (i, 0),
@@ -554,7 +570,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0] * ts, 8), jnp.float32),
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ),
         interpret=interpret,
@@ -563,7 +579,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT, onehotT,
-      bitsT, bits14T, oidT, gonehotT, box)
+      bitsT, bits14T, oidT, gonehotT, box, row_off)
 
 
 @functools.partial(jax.jit,
@@ -693,6 +709,76 @@ def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
         interpret=interpret,
     )(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT, box)
     return fout
+
+
+def banded_sweep_sharded(mesh, axis_name, pos, box, charges, tables,
+                         beta, r_cutoff, ts, band_w,
+                         cache: "PairCache | None" = None,
+                         want_energy: bool = True, interpret: bool = False):
+    """The production z-banded pair sweep sharded over row tiles of a
+    jax.sharding.Mesh: each device runs the SAME Mosaic kernel over its
+    n_tiles/n_dev row tiles (row blocks + per-row statics sharded on the
+    atom axis; the column tables are replicated), then the column-side
+    Newton reaction accumulator is psum'd over ICI.  Returns
+    (e_lj, e_coul, e_corr, e14_coul, e14_lj, forces) like
+    direct_space_pallas (residual-pair adjustment excluded — callers apply
+    it on the gathered result).
+
+    Requires n_pad % (ts * n_dev) == 0 and the banded enumeration to be
+    eligible; exactness vs the unsharded kernel is locked by
+    tests/test_multichip.py on the virtual CPU mesh in interpret mode.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = pos.shape[0]
+    n_pad = ((n + ts - 1) // ts) * ts
+    pad = n_pad - n
+    n_dev = mesh.devices.size
+    if n_pad % (ts * n_dev) != 0:
+        raise ValueError(f"n_pad={n_pad} not divisible by ts*n_dev="
+                         f"{ts * n_dev}")
+    if not band_eligible(n_pad, ts, band_w):
+        raise ValueError("banded enumeration not eligible for this size")
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    if cache is None:
+        cache = make_pair_cache(pos, box_arr, charges, tables, ts)
+    pos2d = jnp.concatenate(
+        [pos, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)[cache.perm]
+    n_tiles = n_pad // ts
+    tiles_local = n_tiles // n_dev
+    rows_local = tiles_local * ts
+    t_dim = int(np.asarray(tables["arows"]).shape[1])
+    has14 = bool(tables.get("has_exc14", False))
+    oid2d = cache.perm.reshape(-1, 1)
+
+    def shard_fn(pos2d_l, q2d_l, ab_l, bits_l, bits14_l, oid_l, grows_l,
+                 posT, qT, onehotT, bitsT, bits14T, oidT, gonehotT, boxs):
+        row_off = (jax.lax.axis_index(axis_name)
+                   * jnp.int32(tiles_local)).reshape(())
+        rows, colacc = _tri_call(
+            "bandall", (tiles_local, band_w + 1), pos2d_l, q2d_l, ab_l,
+            bits_l, bits14_l, oid_l, grows_l, posT, qT, onehotT, bitsT,
+            bits14T, oidT, gonehotT, boxs, float(beta), float(r_cutoff),
+            ts, n, t_dim, has14, interpret, want_energy=want_energy,
+            row_off=row_off[None], n_tiles_g=n_tiles)
+        colacc = jax.lax.psum(colacc, axis_name)
+        return rows, colacc
+
+    rows, colacc = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name), P(axis_name), P(axis_name),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis_name), P()),
+        check_vma=False,
+    )(pos2d, cache.q2d, cache.ab, cache.bits2d, cache.bits14_2d, oid2d,
+      cache.grows, pos2d.T, cache.qT, cache.onehotT, cache.bitsT,
+      cache.bits14T, cache.oidT, cache.gonehotT, box_arr)
+    f_full = rows[:, :3] + colacc[:3, :].T
+    forces = f_full[cache.invperm][:n]
+    return (jnp.sum(rows[:, 3]), jnp.sum(rows[:, 4]), jnp.sum(rows[:, 5]),
+            jnp.sum(rows[:, 6]), jnp.sum(rows[:, 7]), forces)
 
 
 def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,

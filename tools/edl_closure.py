@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Quantitative constant-voltage EDL validation (reference README.md:148-170).
+
+Runs the synthesized ~37k-atom capacitor at 1 V, accumulates the
+time-averaged charge-density profile rho_q(z), and closes the loop through
+electrostatics:
+
+1. Poisson:  phi''(z) = -rho_q(z)/eps0.  The TOTAL potential (induced +
+   applied uniform field) must recover the conductor boundary conditions
+   the image-charge method is supposed to enforce: near-zero total field
+   inside each electrode, and an electrode-to-electrode potential drop
+   equal to the applied voltage.
+2. Image bookkeeping: sum(q_image) == -sum(q_electrolyte) exactly (every
+   electrolyte particle carries one mirror of opposite charge).
+3. Differential observable: the accumulated electrode-region counter
+   charge Q gives the cell capacitance C = Q/V.
+
+Usage: python tools/edl_closure.py [model_dir] [prod_steps]
+Writes /tmp/edl_closure.json and prints it.
+"""
+import importlib.util
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+EPS0 = 0.05526349406  # e / (V nm)
+
+
+def main():
+    model = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edl_model"
+    prod = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    voltage = 1.0
+    if not os.path.isdir(model):
+        os.system(f"{sys.executable} "
+                  f"{os.path.dirname(os.path.abspath(__file__))}"
+                  f"/make_edl_model.py {model}")
+    spec = importlib.util.spec_from_file_location(
+        "runedl", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "examples", "run-edl.py"))
+    runedl = importlib.util.module_from_spec(spec)
+    argv0 = sys.argv
+    sys.argv = ["run-edl.py"]
+    spec.loader.exec_module(runedl)
+    sys.argv = argv0
+    os.chdir("/tmp")
+    import jax
+
+    relax = runedl.gen_simulation(model + "/conf.gro", model + "/topol.psf",
+                                  model + "/ff.prm", dt=0.0002,
+                                  voltage=voltage)
+    relax.context.set_velocities_to_temperature(100.0)
+    relax.context.step(4000)
+    jax.block_until_ready(relax.context._carry.state.pos)
+    relaxed = relax.context.get_positions()
+
+    sim = runedl.gen_simulation(model + "/conf.gro", model + "/topol.psf",
+                                model + "/ff.prm", voltage=voltage)
+    ctx = sim.context
+    ctx.set_positions(relaxed)
+    ctx.set_velocities_to_temperature(333.0)
+
+    q = np.asarray(ctx.system.charges)
+    box = ctx.get_box()
+    lz = float(box[2])
+    mirror = float(ctx.data.mirror_location)
+    area = float(box[0] * box[1])
+    nbin = 264
+    dz = lz / nbin
+    zc = (np.arange(nbin) + 0.5) * dz
+
+    # 2. exact image bookkeeping
+    pairs = np.asarray(ctx.data.image_pairs)
+    img_sum = float(q[pairs[:, 0]].sum())
+    parent_sum = float(q[pairs[:, 1]].sum())
+
+    # production with profile accumulation over the second half
+    chunks, chunk = 40, prod // 40
+    hist = np.zeros(nbin)
+    n_acc = 0
+    t0 = time.time()
+    for c in range(chunks):
+        ctx.step(chunk)
+        if 2 * c >= chunks:
+            pos = np.asarray(ctx.state.pos)
+            hist += np.histogram(pos[:, 2] % lz, bins=nbin, range=(0, lz),
+                                 weights=q)[0]
+            n_acc += 1
+    jax.block_until_ready(ctx._carry.state.pos)
+    elapsed = time.time() - t0
+    rho = hist / n_acc / (area * dz)                    # e/nm^3
+
+    # 1. Poisson double integration + applied uniform field.
+    # E_ind(z) = (1/eps0) int_0^z rho dz' + E0; fix E0 so the total field
+    # averages to the periodic-consistency value (the Ewald cell has no
+    # net field): <E_ind> over the box = 0.
+    e_ind = np.cumsum(rho) * dz / EPS0
+    e_ind -= e_ind.mean()
+    # applied field acts between the plates: the run-edl convention is a
+    # uniform E = 2 V / lz on electrolyte charges (README.md:172-190)
+    e_app = 2.0 * voltage / lz
+    e_tot = e_ind + e_app
+    phi = -np.cumsum(e_tot) * dz
+    phi -= phi[0]
+
+    # electrode interiors: the slab layers sit at z ~ [lz-0.7, lz] U [0,
+    # 0.05] (wrapped, lower electrode) and z ~ mirror +- 0.7 (upper)
+    in_lower = zc < 0.25
+    in_upper = np.abs(zc - mirror) < 0.25
+    e_lower = float(np.mean(e_tot[in_lower]))
+    e_upper = float(np.mean(e_tot[in_upper]))
+    e_liquid = float(np.mean(np.abs(
+        e_tot[(zc > 1.5) & (zc < mirror - 1.5)])))
+    phi_lower = float(np.mean(phi[in_lower]))
+    phi_upper = float(np.mean(phi[in_upper]))
+    drop = phi_lower - phi_upper
+
+    # 3. accumulated counter charge of the lower half-cell electrode
+    # region (electrode atoms + images within 0.6 nm of the z=0 plane)
+    pos = np.asarray(ctx.state.pos)
+    zw = pos[:, 2] % lz
+    near_lower = (zw < 0.8) | (zw > lz - 0.8)
+    q_electrode_lower = float(q[near_lower].sum())
+    cap_uF_cm2 = abs(q_electrode_lower) / voltage / area \
+        * 1.602176634e-19 / 1e-14 * 1e6     # e/(V nm^2) -> uF/cm^2
+
+    out = {
+        "prod_steps": prod,
+        "ns_day": round(prod * float(ctx.data.dt) * 1e-3
+                        / (elapsed / 86400.0), 2),
+        "applied_V": voltage,
+        "recovered_drop_V": round(drop, 3),
+        "field_in_lower_electrode_V_nm": round(e_lower, 4),
+        "field_in_upper_electrode_V_nm": round(e_upper, 4),
+        "mean_abs_field_mid_liquid_V_nm": round(e_liquid, 4),
+        "image_charge_sum_e": round(img_sum, 6),
+        "electrolyte_charge_sum_e": round(parent_sum, 6),
+        "image_sum_matches": bool(abs(img_sum + parent_sum) < 1e-3),
+        "lower_electrode_counter_charge_e": round(q_electrode_lower, 3),
+        "capacitance_uF_cm2": round(cap_uF_cm2, 3),
+    }
+    with open("/tmp/edl_closure.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

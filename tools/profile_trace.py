@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--ts", type=int, default=0)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--dump-hlo", default="")
+    ap.add_argument("--no-fold14", action="store_true")
     args = ap.parse_args()
 
     from openmm_velocityverlet_tpu import Context, VVIntegrator
@@ -56,6 +57,8 @@ def main():
     integ = VVIntegrator(333, 10, 1, 40, 0.001)
     integ.setMaxDrudeDistance(0.02)
     kw = {"pair_ts": args.ts} if args.ts else {}
+    if args.no_fold14:
+        kw["fold_exc14"] = False
     ctx = Context(system, integ, positions=pos, box=box, **kw)
     ctx.set_velocities_to_temperature(333.0)
     ctx.step(5)
