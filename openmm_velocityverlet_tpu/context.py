@@ -274,6 +274,7 @@ class Context:
         baro_cfg = self.barostat_cfg
         uses_band = ev.uses_band
         refresh = self.sort_refresh
+        mol_runs = stepping.mol_runs_from_id(sysm.particle_mol_id)
 
         def refreshed_cache(carry: Carry):
             """Rebuild the z-sort cache every `refresh` steps OR when the
@@ -314,7 +315,8 @@ class Context:
             vel, eta, eta_dot, eta_dotdot, _ = stepping.nh_scale_velocities(
                 vel, masses, inv_m, sysm.particle_mol_id, sysm.mol_masses,
                 sysm.mol_inv_masses, data, st.nh_eta, st.nh_eta_dot,
-                st.nh_eta_dotdot, mol_table=sysm.mol_table)
+                st.nh_eta_dotdot, mol_table=sysm.mol_table,
+                mol_runs=mol_runs)
             if has_cos:
                 vel = stepping.cos_shift_velocity(pos, vel, box, cos_v, 1.0)
             st = st.replace(nh_eta=eta, nh_eta_dot=eta_dot,

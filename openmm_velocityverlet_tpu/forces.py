@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops import (allpairs, bonded, drude, ewald, nonbonded, pallas_pair,
-                  pme, term_forces, vsites)
+from .ops import (allpairs, bonded, drude, ewald, mol_terms, nonbonded,
+                  pallas_pair, pme, term_forces, vsites)
 from .system import System
 
 
@@ -40,7 +40,7 @@ class ForceEvaluator:
                  ewald_chunk: int = 16384, row_block: int = 1024,
                  pair_kernel: str = "auto",
                  box_hint=None, pos_hint=None, pair_ts: int = 0,
-                 fold_exc14: bool = True, recip: str = "auto", **_legacy):
+                 fold_exc14: bool = False, recip: str = "auto", **_legacy):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
@@ -100,11 +100,26 @@ class ForceEvaluator:
             exc_idx=system.exc_idx, exc_qq=system.exc_qq,
             exc_c6=system.exc_c6, exc_c12=system.exc_c12,
             charges=system.charges, fold_exc14=fold_exc14)
-        # analytic sparse-term tables (scatter-free bonded/Drude/Thole);
-        # regular 1-4 exceptions live in the pair kernel (see
-        # allpairs.build_pair_tables), only irregular ones stay here
+        # Bonded/Drude/Thole: molecule-batched dense evaluation (constant
+        # one-hot matmuls per molecule type, ops/mol_terms.py) for every
+        # molecule that is a contiguous copy of a repeated species; the
+        # sparse gather path keeps only the leftovers.  Systems with
+        # pathologically many distinct species stay fully sparse (the dense
+        # path would bloat compile time for no win).
+        # 1-4 exceptions route to the dense path too (intra-molecular); with
+        # fold_exc14=True they live in the pair kernel instead (costs ~20
+        # VPU slots + 2 MXU dots per pair there — measured slower once the
+        # dense path exists)
+        exc_mask = self.pair_tables["exc_term_mask"]
+        self.mol_types, leftover = mol_terms.build_mol_tables(
+            system, exc_mask=exc_mask)
+        if len(self.mol_types) > 32:
+            self.mol_types = []
+            leftover = None
+        if leftover is not None and "exception" in leftover:
+            exc_mask = leftover.pop("exception")
         self.term_tables = term_forces.build_term_tables(
-            system, exc_keep_mask=self.pair_tables["exc_term_mask"])
+            system, exc_keep_mask=exc_mask, keep_masks=leftover)
         # reciprocal-space method: the exact k-sum matmul (ops/ewald.py) or
         # FFT PME (ops/pme.py); "auto" picks per system from the measured
         # cost models (exact wins for every bundled reference workload)
@@ -217,6 +232,12 @@ class ForceEvaluator:
         t_terms, t_idx, t_slots = self.term_tables
         term_energies, f_terms = term_forces.energies_and_forces(
             pos, box, t_terms, t_idx, t_slots)
+        if self.mol_types:
+            mol_energies, f_mol = mol_terms.energies_and_forces(
+                pos, box, self.mol_types, s.n_atoms)
+            f_terms = f_terms + f_mol
+            for k, v in mol_energies.items():
+                term_energies[k] = term_energies.get(k, 0.0) + v
         terms = dict(terms)
         for name in ("bond", "angle", "urey_bradley", "dihedral", "improper",
                      "drude", "thole", "exception_coul", "exception_lj"):

@@ -72,11 +72,47 @@ def kinetic_energy(vel, masses):
     return 0.5 * jnp.sum(masses[:, None] * vel * vel)
 
 
-def com_velocities(vel, masses, mol_id, mol_inv_masses, mol_table=None):
+def mol_runs_from_id(mol_id):
+    """Contiguous-molecule runs [(atom_start, n_mol, atoms_per_mol), ...].
+
+    PSF atom order keeps every molecule contiguous and molecules sorted, so
+    per-molecule reductions become plain reshapes — no (M, Mmax) member
+    gather (~37k rows/step at 19.5k atoms) and no (N,) mol_id gather for the
+    broadcast back.  Returns None when the layout doesn't hold (callers then
+    use the dense-table fallback)."""
+    mid = np.asarray(mol_id)
+    if mid.size == 0 or np.any(np.diff(mid) < 0):
+        return None
+    starts = np.flatnonzero(np.r_[True, np.diff(mid) != 0])
+    if not np.array_equal(mid[starts], np.arange(starts.size)):
+        return None
+    counts = np.diff(np.r_[starts, mid.size])
+    runs = []
+    for s, c in zip(starts, counts):
+        if runs and c == runs[-1][2]:
+            runs[-1][1] += 1
+        else:
+            runs.append([int(s), 1, int(c)])
+    return tuple(tuple(r) for r in runs)
+
+
+def com_velocities(vel, masses, mol_id, mol_inv_masses, mol_table=None,
+                   runs=None):
     """Per-molecule mass-weighted COM velocity (calcCOMVelocities,
-    drudeNoseHoover.cu:5-31).  With a dense member table this is a
-    constant-index gather + sum (scatter-free); segment_sum is the
-    fallback for callers without one."""
+    drudeNoseHoover.cu:5-31).  With contiguous-molecule ``runs`` this is a
+    reshape + weighted sum (no gathers at all); with a dense member table a
+    constant-index gather + sum; segment_sum is the last fallback."""
+    if runs is not None:
+        w_all = (np.asarray(masses)
+                 * np.asarray(mol_inv_masses)[np.asarray(mol_id)])
+        outs = []
+        for s, m, apm in runs:
+            w = jnp.asarray(w_all[s:s + m * apm].reshape(m, apm),
+                            vel.dtype)
+            comps = [jnp.sum(w * vel[s:s + m * apm, c].reshape(m, apm),
+                             axis=1) for c in range(3)]
+            outs.append(jnp.stack(comps, -1))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
     if mol_table is not None:
         idx = np.maximum(np.asarray(mol_table), 0)
         valid = (np.asarray(mol_table) >= 0)
@@ -87,10 +123,24 @@ def com_velocities(vel, masses, mol_id, mol_inv_masses, mol_table=None):
     return mom * mol_inv_masses[:, None]
 
 
+def mol_broadcast(com, runs):
+    """Expand per-molecule rows (M,3) back to per-atom rows (N,3) for
+    contiguous runs — the no-gather replacement of com[mol_id]."""
+    outs = []
+    ms = 0
+    for s, m, apm in runs:
+        comps = [jnp.broadcast_to(com[ms:ms + m, c:c + 1],
+                                  (m, apm)).reshape(-1) for c in range(3)]
+        outs.append(jnp.stack(comps, -1))
+        ms += m
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
+
+
 # ------------------------------------------------------------- NH scaling
 def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
                         mol_inv_masses, data: IntegratorData, nh_eta,
-                        nh_eta_dot, nh_eta_dotdot, mol_table=None):
+                        nh_eta_dot, nh_eta_dotdot, mol_table=None,
+                        mol_runs=None):
     """One TGNH thermostat application (scaleVelocity host orchestration,
     CudaVVKernels.cpp:670-754 + drudeNoseHoover.cu kernels), fully on device.
 
@@ -98,10 +148,13 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
     """
     if data.use_com_temp_group:
         com = com_velocities(vel, masses, mol_id, mol_inv_masses,
-                             mol_table)  # (M,3)
-        vel_rel = jnp.where(data.nh_mask[:, None], vel - com[mol_id], vel)
+                             mol_table, runs=mol_runs)  # (M,3)
+        com_b = (mol_broadcast(com, mol_runs) if mol_runs is not None
+                 else com[mol_id])
+        vel_rel = jnp.where(data.nh_mask[:, None], vel - com_b, vel)
     else:
         com = jnp.zeros((mol_masses.shape[0], 3), vel.dtype)
+        com_b = None
         vel_rel = vel
 
     # --- per-atom pair decomposition (shared by the KE reductions and the
@@ -156,7 +209,7 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
 
     # --- apply scale (scaleVelocity kernel, drudeNoseHoover.cu:157-209) ---
     # v_i' = s_atom*cm + sign_i * s_drude * rel * m_j/(m_i+m_j) + s_com*vcom
-    com_term = s_com * com[mol_id] if data.use_com_temp_group else \
+    com_term = s_com * com_b if data.use_com_temp_group else \
         jnp.zeros((1, 1), vel.dtype)
     new_vel = vel
     if nn.shape[0]:

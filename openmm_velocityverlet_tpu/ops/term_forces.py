@@ -46,12 +46,15 @@ def _delta(pts, a, b, box):
 
 
 # --------------------------------------------------------------- term math
-# Every _*_ef returns (energy (NT,), grads) where grads[slot] = (gx,gy,gz)
-# holding dE/d pts[slot] as (NT,) components.
+# Every _*_ef returns (energy, grads) where grads[slot] = (gx,gy,gz) holding
+# dE/d pts[slot] as component arrays.  The geometry comes in through a
+# ``delta(a, b) -> (dx,dy,dz)`` closure so the same formulas serve both the
+# sparse gather path here ((NT,) components) and the molecule-batched dense
+# path in ops/mol_terms.py ((m, nt) components); prm columns broadcast.
 
-def _bond_ef(pts, prm, box):
+def _bond_ef(delta, prm, _unused=None):
     r0, k = prm[:, 0], prm[:, 1]
-    dx, dy, dz = _delta(pts, 0, 1, box)
+    dx, dy, dz = delta(0, 1)
     r2 = dx * dx + dy * dy + dz * dz + _EPS
     inv_r = jax.lax.rsqrt(r2)
     r = r2 * inv_r
@@ -63,10 +66,10 @@ def _bond_ef(pts, prm, box):
     return e, [g0, g1]
 
 
-def _angle_ef(pts, prm, box):
+def _angle_ef(delta, prm, _unused=None):
     th0, k = prm[:, 0], prm[:, 1]
-    ax, ay, az = _delta(pts, 0, 1, box)   # v1 = p0 - p1
-    bx, by, bz = _delta(pts, 2, 1, box)   # v2 = p2 - p1
+    ax, ay, az = delta(0, 1)   # v1 = p0 - p1
+    bx, by, bz = delta(2, 1)   # v2 = p2 - p1
     r1s = ax * ax + ay * ay + az * az + _EPS
     r2s = bx * bx + by * by + bz * bz + _EPS
     inv1 = jax.lax.rsqrt(r1s)
@@ -86,7 +89,7 @@ def _angle_ef(pts, prm, box):
     return e, [g0, g1, g2]
 
 
-def _dihedral_ef(pts, prm, box):
+def _dihedral_ef(delta, prm, _unused=None):
     """E = k (1 + cos(n phi - phase)); improper folds in as (n=2, phase=pi).
 
     Gradients via the standard rigid-rotor decomposition
@@ -94,9 +97,9 @@ def _dihedral_ef(pts, prm, box):
     lever rule) — equivalent to autodiff of ops/bonded.py:_dihedral_phi.
     """
     nmul, phase, k = prm[:, 0], prm[:, 1], prm[:, 2]
-    b1x, b1y, b1z = _delta(pts, 1, 0, box)
-    b2x, b2y, b2z = _delta(pts, 2, 1, box)
-    b3x, b3y, b3z = _delta(pts, 3, 2, box)
+    b1x, b1y, b1z = delta(1, 0)
+    b2x, b2y, b2z = delta(2, 1)
+    b3x, b3y, b3z = delta(3, 2)
     # m = b1 x b2 ; n = b2 x b3
     mx = b1y * b2z - b1z * b2y
     my = b1z * b2x - b1x * b2z
@@ -134,19 +137,19 @@ def _dihedral_ef(pts, prm, box):
     return e, [g0, g1, g2, g3]
 
 
-def _drude_ef(pts, prm, box):
+def _drude_ef(delta, prm, _unused=None):
     """Drude spring with optional anisotropy (DrudeForce semantics,
     oplspsffile.py:1478-1504).  idx = (drude, parent, p2, p3, p4);
     prm = (k3, k1, k2, has_aniso).  Padded aniso parents coincide with the
     parent atom; the (1-has) x-axis shift keeps normalizations finite."""
     k3, k1, k2, has = prm[:, 0], prm[:, 1], prm[:, 2], prm[:, 3]
-    dx, dy, dz = _delta(pts, 0, 1, box)
+    dx, dy, dz = delta(0, 1)
     e = 0.5 * k3 * (dx * dx + dy * dy + dz * dz)
     gdx, gdy, gdz = k3 * dx, k3 * dy, k3 * dz   # dE/d disp
     shift = 1.0 - has
 
     def axis(a, b, kk):
-        wx, wy, wz = _delta(pts, a, b, box)
+        wx, wy, wz = delta(a, b)
         wx = wx + shift
         w2 = wx * wx + wy * wy + wz * wz + _EPS
         invw = jax.lax.rsqrt(w2)
@@ -178,7 +181,7 @@ def _drude_ef(pts, prm, box):
     return e, [g0, g1, g2, g3, g4]
 
 
-def _thole_ef(pts, prm, box):
+def _thole_ef(delta, prm, _unused=None):
     """Thole screened dipole-dipole: 4 site pairs between (d1,p1) and
     (d2,p2); prm = (qq, screen).  E = C qq/r (1 - (1+u/2) e^-u), u = a r."""
     qq, screen = prm[:, 0], prm[:, 1]
@@ -186,7 +189,7 @@ def _thole_ef(pts, prm, box):
     e = jnp.zeros_like(qq)
 
     for a, b, sign in ((0, 2, 1.0), (0, 3, -1.0), (1, 2, -1.0), (1, 3, 1.0)):
-        dx, dy, dz = _delta(pts, a, b, box)
+        dx, dy, dz = delta(a, b)
         r2 = dx * dx + dy * dy + dz * dz + _EPS
         inv_r = jax.lax.rsqrt(r2)
         u = screen * r2 * inv_r
@@ -206,11 +209,11 @@ def _thole_ef(pts, prm, box):
     return e, [tuple(g) for g in grads]
 
 
-def _exception_ef(pts, prm, box):
+def _exception_ef(delta, prm, _unused=None):
     """1-4 exception: full scaled Coulomb + LJ in one pass.
     prm: (qq, c6, c12); returns ((coul, lj) energy split, grads)."""
     qq, c6, c12 = prm[:, 0], prm[:, 1], prm[:, 2]
-    dx, dy, dz = _delta(pts, 0, 1, box)
+    dx, dy, dz = delta(0, 1)
     r2 = dx * dx + dy * dy + dz * dz + _EPS
     inv_r2 = 1.0 / r2
     inv_r = jax.lax.rsqrt(r2)
@@ -236,16 +239,27 @@ _TERM_FNS = {
 }
 
 
-def build_term_tables(system, exc_keep_mask=None):
+def build_term_tables(system, exc_keep_mask=None, keep_masks=None):
     """Host-side: per-term index/param arrays + the combined incidence table.
 
     Returns (terms, incidence, total_slots) where terms is a list of
     (name, idx (NT,P) i32, prm (NT,Q) f32, split) and incidence indexes the
     term-major flat contribution array (entry = base + term*P + slot),
     matching the runtime's (NT,P,3).reshape(-1,3) per-term stacks.
+
+    ``keep_masks``: optional dict kind -> bool mask over the kind's merged table
+    (bond+urey_bradley, dihedral+improper) selecting the terms this sparse
+    path should still evaluate; kinds absent from the dict keep everything.
+    Used by ops/mol_terms.py to route only its uncovered leftovers here.
     """
     s = system
     terms = []
+
+    def _keep(kind, *arrays):
+        if keep_masks is None or kind not in keep_masks:
+            return arrays
+        m = np.asarray(keep_masks[kind], bool)
+        return tuple(a[m] for a in arrays)
     # Merged term groups keep the number of fused passes per step low:
     # Urey-Bradley bonds are bonds, and the OPLS improper k(1-cos 2 phi)
     # equals a dihedral with n=2, phase=pi.  ``split``: (labels, which) to
@@ -260,12 +274,16 @@ def build_term_tables(system, exc_keep_mask=None):
              np.stack([s.ub_r0, s.ub_k], -1).reshape(-1, 2)],
             0).astype(np.float32)
         which = np.concatenate([np.zeros(nb), np.ones(nu)]).astype(np.float32)
-        terms.append(("bond", idx, prm,
-                      (("bond", "urey_bradley"), which)))
+        idx, prm, which = _keep("bond", idx, prm, which)
+        if idx.shape[0]:
+            terms.append(("bond", idx, prm,
+                          (("bond", "urey_bradley"), which)))
     if s.angles.shape[0]:
-        terms.append(("angle", np.asarray(s.angles, np.int32),
-                      np.stack([s.angle_theta0, s.angle_k],
-                               -1).astype(np.float32), None))
+        a_idx, a_prm = _keep("angle", np.asarray(s.angles, np.int32),
+                             np.stack([s.angle_theta0, s.angle_k],
+                                      -1).astype(np.float32))
+        if a_idx.shape[0]:
+            terms.append(("angle", a_idx, a_prm, None))
     nd, ni = s.dihedrals.shape[0], s.impropers.shape[0]
     if nd + ni:
         idx = np.concatenate([np.asarray(s.dihedrals,
@@ -279,8 +297,10 @@ def build_term_tables(system, exc_keep_mask=None):
              np.stack([np.full(ni, 2.0), np.full(ni, np.pi), imp_k],
                       -1).reshape(-1, 3)], 0).astype(np.float32)
         which = np.concatenate([np.zeros(nd), np.ones(ni)]).astype(np.float32)
-        terms.append(("dihedral", idx, prm,
-                      (("dihedral", "improper"), which)))
+        idx, prm, which = _keep("dihedral", idx, prm, which)
+        if idx.shape[0]:
+            terms.append(("dihedral", idx, prm,
+                          (("dihedral", "improper"), which)))
     if s.drude_pairs.shape[0]:
         dp = np.asarray(s.drude_pairs, np.int32)
         da = np.asarray(s.drude_aniso, np.int32)
@@ -291,7 +311,9 @@ def build_term_tables(system, exc_keep_mask=None):
                               da_safe[:, 3:4]], axis=1)  # (D,5): d,p,p2,p3,p4
         prm = np.stack([s.drude_k3, s.drude_k1, s.drude_k2, has],
                        -1).astype(np.float32)
-        terms.append(("drude", idx, prm, None))
+        idx, prm = _keep("drude", idx, prm)
+        if idx.shape[0]:
+            terms.append(("drude", idx, prm, None))
     exc_idx = np.asarray(s.exc_idx)
     if exc_idx.size and (exc_idx >= 0).any():
         n_atoms, xa = exc_idx.shape
@@ -314,7 +336,9 @@ def build_term_tables(system, exc_keep_mask=None):
         ts = np.asarray(s.thole_sites, np.int32)
         prm = np.stack([np.asarray(s.thole_qq),
                         np.asarray(s.thole_screen)], -1).astype(np.float32)
-        terms.append(("thole", ts, prm, None))
+        ts, prm = _keep("thole", ts, prm)
+        if ts.shape[0]:
+            terms.append(("thole", ts, prm, None))
 
     n = s.n_atoms
     # PER-TYPE incidence tables: each term type's flat contribution array
@@ -386,7 +410,8 @@ def energies_and_forces(pos, box, terms, incidence, total_slots):
         # ONE row-shaped gather per term type (fast TPU lowering); the math
         # then runs on (NT,) components extracted from the small pts array.
         pts = pos[np.maximum(idx, 0)]               # (NT,P,3)
-        e_t, grads = fn(pts, jnp.asarray(prm), box3)
+        e_t, grads = fn(lambda a, b: _delta(pts, a, b, box3),
+                        jnp.asarray(prm))
         if name == "exception":
             e_coul, e_lj = e_t
             energies["exception_coul"] = jnp.sum(jnp.where(mask, e_coul, 0.0))
