@@ -62,7 +62,7 @@ class Context:
                  barostat: Optional[baro_mod.BarostatConfig] = None,
                  positions=None, box=None, row_block: int = 1024,
                  ewald_chunk: int = 4096, sort_refresh: int = 25,
-                 pair_ts: int = 0, fold_exc14: bool = True,
+                 pair_ts: int = 0, fold_exc14: bool = False,
                  recip: str = "auto", **_legacy):
         # sort_refresh: steps between z-sort cache rebuilds for the banded
         # pair sweep (staleness is safe — the per-step coverage check runs

@@ -50,6 +50,15 @@ class ForceEvaluator:
             pair_kernel = ("pallas" if jax.default_backend() != "cpu"
                            else "dense")
         self.pair_kernel = pair_kernel
+        # production sweep mode: the Morton AABB tile-pair list culls the
+        # x/y cross-section the z band cannot (~2x fewer pair slots) and
+        # skips exclusion integer ops on tiles without excluded pairs; the
+        # z band remains for fold_exc14=True (kernel-folded 1-4s) and the
+        # row-sharded multi-chip path
+        self.pair_mode = "dense"
+        if self.pair_kernel == "pallas":
+            self.pair_mode = "band" if fold_exc14 else "plist"
+        self.skin = 0.1
         # band_atoms: atoms inside any (cutoff + sort-staleness skin)
         # z-window, from the MAX z-local density of the initial
         # configuration when available (an EDL slab's liquid region is ~10%
@@ -77,8 +86,30 @@ class ForceEvaluator:
         # check now triggers a cache rebuild and (if still uncovered) an
         # exact full-sweep fallback, so a tight band is safe and saves one
         # whole column tile per row tile (~16% of the kernel at 19.5k)
+        self.plist_sort = "morton"
         if pair_ts:
             self.pair_ts = int(pair_ts)
+        elif self.pair_mode == "plist":
+            # jointly pick sort key and tile size minimizing (pair slots +
+            # per-entry overhead) from the exact candidate enumeration of
+            # the initial configuration: thin z slabs win when the box
+            # cross-section is under ~2 cutoffs (transverse culling is
+            # impossible there), Morton blobs win on fat boxes; smaller
+            # tiles cull tighter but pay more grid steps
+            best = None
+            if pos_hint is not None and box_hint is not None:
+                for key in ("z", "morton"):
+                    for cand in (128, 256, 384):
+                        cnt = pallas_pair.count_candidates_np(
+                            pos_hint, box_hint, cand,
+                            system.r_cutoff + self.skin, mode=key)
+                        cost = cnt * (cand * cand + 6000)
+                        if best is None or cost < best[0]:
+                            best = (cost, cand, key)
+            else:
+                best = (0, 256, "morton")
+            self.pair_ts = best[1]
+            self.plist_sort = best[2]
         else:
             best = None
             for cand in (512, 640, 768):
@@ -94,6 +125,21 @@ class ForceEvaluator:
             self.pair_ts = best[1]
         self.band_w = (int(np.ceil(band_atoms / self.pair_ts))
                        if band_atoms else 0)
+        # pair-list capacity: exact initial count x drift margin; the
+        # runtime overflow flag + full-sweep fallback + cache rebuild
+        # guard the margin, so a rare overshoot costs one slow step
+        self.plist_cap = 0
+        if self.pair_mode == "plist":
+            n_pad = -(-system.n_atoms // self.pair_ts) * self.pair_ts
+            n_tiles = n_pad // self.pair_ts
+            full = n_tiles * (n_tiles + 1) // 2
+            if pos_hint is not None and box_hint is not None:
+                cnt = pallas_pair.count_candidates_np(
+                    pos_hint, box_hint, self.pair_ts,
+                    system.r_cutoff + self.skin, mode=self.plist_sort)
+                self.plist_cap = min(full, int(cnt * 1.6) + 64)
+            else:
+                self.plist_cap = full
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed,
@@ -142,10 +188,16 @@ class ForceEvaluator:
                                      s.vsite_origin_w, s.vsite_x_w,
                                      s.vsite_y_w, s.vsite_local)
 
-    # -- z-sort cache for the banded pair sweep ---------------------------
+    # -- spatial-sort cache for the tiled pair sweeps ---------------------
     @property
     def uses_band(self) -> bool:
-        if self.pair_kernel != "pallas" or self.band_w < 1:
+        """True when the hot path carries a sorted PairCache (either the
+        Morton tile-pair list or the z band)."""
+        if self.pair_kernel != "pallas":
+            return False
+        if self.pair_mode == "plist":
+            return self.plist_cap > 0
+        if self.band_w < 1:
             return False
         n_pad = ((self.system.n_atoms + self.pair_ts - 1)
                  // self.pair_ts) * self.pair_ts
@@ -155,15 +207,30 @@ class ForceEvaluator:
         """Sorted-permutation + permuted-statics cache (device-side, callable
         under jit).  Refresh every few dozen steps; the per-call coverage
         check makes staleness safe."""
+        if self.pair_mode == "plist":
+            return pallas_pair.make_pair_cache(
+                self.place_vsites(pos_raw), box,
+                jnp.asarray(self.system.charges), self.pair_tables,
+                self.pair_ts, mode=self.plist_sort, cap=self.plist_cap,
+                rc_cand=self.system.r_cutoff + self.skin)
         return pallas_pair.make_pair_cache(
             self.place_vsites(pos_raw), box,
             jnp.asarray(self.system.charges), self.pair_tables, self.pair_ts)
 
     def pair_cache_stale(self, pos_raw, box, cache):
-        """Device bool: current positions are no longer band-covered under
-        this cache's sort (callers should rebuild the cache)."""
+        """Device bool: current positions are no longer covered under this
+        cache's sort (callers should rebuild the cache)."""
+        pos = self.place_vsites(pos_raw)
+        if self.pair_mode == "plist":
+            n = pos.shape[0]
+            pad = cache.perm.shape[0] - n
+            pos_sorted = jnp.concatenate(
+                [pos, jnp.full((pad, 3), 1e6, jnp.float32)],
+                axis=0)[cache.perm]
+            return pallas_pair.plist_coverage_bad(
+                pos_sorted, box, cache, self.pair_ts, self.system.r_cutoff)
         return pallas_pair.band_coverage_bad(
-            self.place_vsites(pos_raw), box, cache, self.pair_ts,
+            pos, box, cache, self.pair_ts,
             self.band_w, self.system.r_cutoff)
 
     # -- grad-differentiated terms ---------------------------------------
@@ -220,7 +287,9 @@ class ForceEvaluator:
                     pos, box, jnp.asarray(s.charges), self.pair_tables,
                     s.ewald_beta, s.r_cutoff, ts=self.pair_ts,
                     band_w=self.band_w, want_energy=want_energy,
-                    cache=pair_cache, with_flag=True)
+                    cache=pair_cache, with_flag=True, mode=self.pair_mode,
+                    plist_cap=self.plist_cap, skin=self.skin,
+                    plist_sort=self.plist_sort)
         else:
             e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
                 allpairs.direct_space_dense(

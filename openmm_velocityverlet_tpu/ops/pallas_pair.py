@@ -72,13 +72,26 @@ def _pfit(beta: float, r_cutoff: float, deg: int = 10):
     return tuple(float(v) for v in c)
 
 
+@functools.lru_cache(maxsize=8)
+def _pfit_scaled(beta: float, r_cutoff: float, deg: int = 10):
+    """_pfit coefficients with beta folded in: the kernels evaluate the
+    Horner chain directly in r^2 (c_k' = c_k beta^(2k+3)), saving the
+    per-pair u = beta^2 r^2 and w *= beta^3 multiplies."""
+    c = _pfit(beta, r_cutoff, deg)
+    return tuple(float(ck) * float(beta) ** (2 * k + 3)
+                 for k, ck in enumerate(c))
+
+
 class PairCache(NamedTuple):
-    """Carried z-sort state for the banded sweep: the permutation plus every
-    permuted static table (row layout and pre-transposed column layout), so
-    a step with a cached sort only gathers/transposes positions.  Refreshed
-    every few dozen steps; staleness is safe because the per-step coverage
-    check runs against CURRENT positions (drift only widens the tile
-    z-intervals it tests)."""
+    """Carried spatial-sort state for the tiled sweeps: the permutation plus
+    every permuted static table (row layout and pre-transposed column
+    layout), so a step with a cached sort only gathers/transposes positions.
+    Refreshed every few dozen steps; staleness is safe because the per-step
+    coverage check runs against CURRENT positions.
+
+    Two sort modes share the container: "z" (wrapped-z order for the banded
+    sweep) and "morton" (3-D Z-order for the AABB-culled tile-pair-list
+    sweep, which also fills plist/cand/overflow)."""
     perm: jnp.ndarray        # (n_pad,) i32 sorted position -> original index
     invperm: jnp.ndarray     # (n_pad,) i32
     q2d: jnp.ndarray         # (n_pad,1) f32 sorted charges
@@ -92,6 +105,73 @@ class PairCache(NamedTuple):
     oidT: jnp.ndarray        # (1,n_pad) i32 original indices
     onehotT: jnp.ndarray     # (T,n_pad)
     gonehotT: jnp.ndarray    # (G,n_pad)
+    # tile-pair-list fields (mode="morton"; zero-size placeholders for "z")
+    plist: jnp.ndarray = None   # (cap,4) i32 [in_tile, col_tile, out_tile,
+    #                             flags: bit0 active, bit1 has_excl, bit2
+    #                             first-visit-of-row-tile]
+    cand: jnp.ndarray = None    # (T,T) bool AABB-candidate tile pairs
+    overflow: jnp.ndarray = None  # () bool: candidate count exceeded cap
+
+
+def _morton_key(pos, box, n_pad):
+    """3-D Z-order (Morton) key of wrapped positions, 6 bits per axis;
+    padding slots sort to the end."""
+    n = pos.shape[0]
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    w = pos - box_arr * jnp.floor(pos / box_arr)
+    cell = jnp.clip((w / box_arr * 64.0).astype(jnp.int32), 0, 63)
+
+    def spread(x):
+        out = jnp.zeros_like(x)
+        for b in range(6):
+            out = out | (((x >> b) & 1) << (3 * b))
+        return out
+
+    key = (spread(cell[:, 0]) | (spread(cell[:, 1]) << 1)
+           | (spread(cell[:, 2]) << 2))
+    return jnp.concatenate(
+        [key, jnp.full((n_pad - n,), np.int32(1 << 20), jnp.int32)])
+
+
+def _tile_intervals(pos_sorted, valid, box, ts):
+    """Per-tile circular AABBs along each axis: (cmean, lo, hi, nonempty)
+    with shapes (T,3),(T,3),(T,3),(T,).  Circular means keep tiles that
+    straddle a periodic boundary tight instead of box-wide."""
+    n_pad = pos_sorted.shape[0]
+    n_tiles = n_pad // ts
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    w = pos_sorted - box_arr * jnp.floor(pos_sorted / box_arr)
+    w = w.reshape(n_tiles, ts, 3)
+    v = valid.reshape(n_tiles, ts, 1)
+    two_pi = jnp.float32(2.0 * np.pi)
+    theta = w * (two_pi / box_arr)
+    sn = jnp.sum(jnp.where(v, jnp.sin(theta), 0.0), axis=1)
+    cs = jnp.sum(jnp.where(v, jnp.cos(theta), 0.0), axis=1)
+    cmean = jnp.arctan2(sn, cs) * (box_arr / two_pi)           # (T,3)
+    dev = jnp.mod(w - cmean[:, None, :] + 0.5 * box_arr,
+                  box_arr) - 0.5 * box_arr
+    lo = jnp.min(jnp.where(v, dev, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(v, dev, -jnp.inf), axis=1)
+    nonempty = valid.reshape(n_tiles, ts).any(axis=1)
+    lo = jnp.where(nonempty[:, None], lo, 0.0)
+    hi = jnp.where(nonempty[:, None], hi, 0.0)
+    return cmean, lo, hi, nonempty
+
+
+def _tile_pair_dist2(cmean, lo, hi, box):
+    """(T,T) squared distance between per-tile circular AABBs (0 when they
+    overlap); degenerate intervals wider than half the box count as
+    overlapping along that axis."""
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    delta = jnp.mod(cmean[None, :, :] - cmean[:, None, :] + 0.5 * box_arr,
+                    box_arr) - 0.5 * box_arr                   # (T,T,3) j-i
+    gap = jnp.where(delta >= 0,
+                    delta - hi[:, None, :] + lo[None, :, :],
+                    -delta - hi[None, :, :] + lo[:, None, :])
+    wide = (hi - lo) > 0.5 * box_arr                           # (T,3)
+    gap = jnp.where(wide[:, None, :] | wide[None, :, :], 0.0, gap)
+    gap = jnp.maximum(gap, 0.0)
+    return jnp.sum(gap * gap, axis=-1)
 
 
 def _padded_statics(n, pad, charges, tables):
@@ -129,18 +209,33 @@ def _padded_statics(n, pad, charges, tables):
     return q2d, ab, bits2d, bits14_2d, onehot2d, grows, gonehot2d
 
 
-def make_pair_cache(pos, box, charges, tables, ts: int = 512) -> PairCache:
-    """Sort atoms by wrapped z and permute every static table (device-side;
-    call under jit, e.g. inside the step's refresh branch)."""
+def make_pair_cache(pos, box, charges, tables, ts: int = 512,
+                    mode: str = "z", cap: int = 0,
+                    rc_cand: float = 0.0) -> PairCache:
+    """Sort atoms spatially and permute every static table (device-side;
+    call under jit, e.g. inside the step's refresh branch).
+
+    mode selects the sort key: "z" (wrapped z — optimal for boxes whose
+    x/y cross-section is smaller than twice the cutoff, where transverse
+    culling is geometrically impossible) or "morton" (3-D Z-order — wins
+    on fat boxes).  cap > 0 additionally builds the AABB-culled candidate
+    tile-pair list (capacity ``cap``, candidate radius ``rc_cand`` =
+    cutoff + refresh skin) and per-pair exclusion flags so tiles without
+    excluded pairs skip the integer mask ops entirely; the AABB interval
+    culling is exact per tile pair, so a z-sorted list also beats the
+    fixed worst-case band width of the banded sweep."""
     n = pos.shape[0]
     n_pad = ((n + ts - 1) // ts) * ts
     pad = n_pad - n
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
-    lz = box_arr[2]
-    zw = pos[:, 2] - lz * jnp.floor(pos[:, 2] / lz)
     iota = jnp.arange(n_pad, dtype=jnp.int32)
-    keys = jnp.concatenate([zw.astype(jnp.float32),
-                            jnp.full((pad,), 1e30, jnp.float32)])
+    if mode == "morton":
+        keys = _morton_key(pos, box_arr, n_pad)
+    else:
+        lz = box_arr[2]
+        zw = pos[:, 2] - lz * jnp.floor(pos[:, 2] / lz)
+        keys = jnp.concatenate([zw.astype(jnp.float32),
+                                jnp.full((pad,), 1e30, jnp.float32)])
     _, perm = jax.lax.sort((keys, iota), num_keys=2)
     invperm = jnp.zeros((n_pad,), jnp.int32).at[perm].set(iota)
     q2d, ab, bits2d, bits14_2d, onehot2d, grows, gonehot2d = _padded_statics(
@@ -150,13 +245,63 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512) -> PairCache:
     bits2d = bits2d[perm]
     bits14_2d = bits14_2d[perm]
     grows = grows[perm]
+    plist = cand = overflow = None
+    if cap > 0:
+        n_tiles = n_pad // ts
+        pos_pad = jnp.concatenate(
+            [pos.astype(jnp.float32), jnp.full((pad, 3), 1e6, jnp.float32)],
+            axis=0)[perm]
+        valid = perm < n
+        cmean, lo, hi, nonempty = _tile_intervals(pos_pad, valid, box_arr, ts)
+        d2 = _tile_pair_dist2(cmean, lo, hi, box_arr)
+        pair_ok = nonempty[:, None] & nonempty[None, :]
+        cand = (d2 <= jnp.float32(rc_cand) ** 2) & pair_ok
+        ii = jnp.arange(n_tiles, dtype=jnp.int32)
+        cand = cand | (jnp.eye(n_tiles, dtype=bool) & nonempty[:, None])
+        # exclusion tile-pair flags: excluded pairs live at original-index
+        # offsets 1..31, so scatter (tile[o], tile[o+d]) for every set bit
+        t_of = invperm[:n] // ts                               # (n,) i32
+        bits_o = jnp.asarray(tables["excl_bits"]).astype(jnp.int32)
+        if tables.get("has_exc14", False):
+            bits_o = bits_o | jnp.asarray(
+                tables["exc14_bits"]).astype(jnp.int32)
+        d = jnp.arange(1, MAX_EXCL_OFFSET + 1, dtype=jnp.int32)
+        o = jnp.arange(n, dtype=jnp.int32)
+        hasb = ((bits_o[:, None] >> d[None, :]) & 1) > 0       # (n,31)
+        pj = jnp.minimum(o[:, None] + d[None, :], n - 1)
+        ti = jnp.broadcast_to(t_of[:, None], hasb.shape)
+        tj = t_of[pj]
+        excl_mat = jnp.zeros((n_tiles, n_tiles), bool).at[
+            ti.reshape(-1), tj.reshape(-1)].max(hasb.reshape(-1))
+        excl_mat = excl_mat | excl_mat.T
+        # compact the upper triangle row-major (ascending flat index keeps
+        # entries grouped by row tile, so row output blocks are revisited
+        # consecutively in the kernel)
+        ut = cand & (ii[None, :] >= ii[:, None])
+        flat = ut.reshape(-1)
+        count = jnp.sum(flat.astype(jnp.int32))
+        overflow = count > cap
+        idx = jnp.nonzero(flat, size=cap,
+                          fill_value=n_tiles * n_tiles)[0].astype(jnp.int32)
+        active = idx < n_tiles * n_tiles
+        i_t = jnp.where(active, idx // n_tiles, 0)
+        j_t = jnp.where(active, idx % n_tiles, 0)
+        first = active & jnp.concatenate(
+            [jnp.ones((1,), bool), i_t[1:] != i_t[:-1]])
+        has_ex = active & (excl_mat[i_t, j_t] | (i_t == j_t))
+        out_i = jnp.where(active, i_t, n_tiles)
+        flags = (active.astype(jnp.int32)
+                 | (has_ex.astype(jnp.int32) << 1)
+                 | (first.astype(jnp.int32) << 2))
+        plist = jnp.stack([i_t, j_t, out_i, flags], axis=1)
     return PairCache(
         perm=perm, invperm=invperm, q2d=q2d, ab=ab, bits2d=bits2d,
         bits14_2d=bits14_2d,
         grows=grows, qT=q2d.reshape(1, -1), bitsT=bits2d.reshape(1, -1),
         bits14T=bits14_2d.reshape(1, -1),
         oidT=perm.reshape(1, -1), onehotT=onehot2d[perm].T,
-        gonehotT=gonehot2d[perm].T)
+        gonehotT=gonehot2d[perm].T,
+        plist=plist, cand=cand, overflow=overflow)
 
 
 def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
@@ -442,15 +587,15 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
             erf_inv_r = (1.0 - erfc_br) * inv_r
             f_x = -qq * (erf_inv_r - gauss) * inv_r2
         else:
-            # poly force path: no exp, no div, no erfc (see _pfit); the
+            # poly force path: no exp, no div, no erfc (see _pfit /
+            # _pfit_scaled — beta is folded into the coefficients); the
             # bare-Coulomb part is capped below r ~ 0.045 nm so a zero-LJ
             # hydrogen captured by a foreign Drude dipole saturates instead
             # of overflowing f32 (excluded pairs take f_x, finite at r -> 0)
-            u = (beta * beta) * r2s
             pp = jnp.float32(pcoef[-1])
             for cof in pcoef[-2::-1]:
-                pp = pp * u + jnp.float32(cof)
-            w = qq * (beta * beta * beta) * pp
+                pp = pp * r2s + jnp.float32(cof)
+            w = qq * pp
             f_c = qq * jnp.minimum(inv_r * inv_r2, 1.0 / 0.045 ** 3) + w
             f_x = w
         if test_excl:
@@ -529,7 +674,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
         _pair_tri_kernel, n=n_real, ts=ts, beta=beta, r_cutoff=r_cutoff,
         t_dim=t_dim, use_groups=use_groups, mode=mode,
         want_energy=want_energy, has14=has14,
-        pcoef=_pfit(float(beta), float(r_cutoff)), full_sweep=full_sweep,
+        pcoef=_pfit_scaled(float(beta), float(r_cutoff)), full_sweep=full_sweep,
         n_tiles_g=n_tiles_g)
     if row_off is None:
         row_off = jnp.zeros((1,), jnp.int32)
@@ -670,6 +815,306 @@ def band_coverage_bad(pos, box, cache: PairCache, ts: int, band_w: int,
     return bad.any()
 
 
+def plist_coverage_bad(pos_sorted, box, cache: PairCache, ts: int,
+                       r_cutoff: float):
+    """True (device bool) when the tile-pair-list sweep would MISS an
+    interacting pair for CURRENT positions: some non-candidate tile pair's
+    circular AABBs (recomputed now, under the cached permutation) come
+    within the cutoff.  Exact regardless of drift — moving atoms only
+    widen the intervals tested.  Also trips on build-time list overflow."""
+    n_pad = cache.perm.shape[0]
+    n_tiles = n_pad // ts
+    box_arr = jnp.asarray(box, jnp.float32).reshape(3)
+    # pad slots carry sentinel positions (1e6) — that marks them invalid
+    # without needing n in the cache
+    valid = pos_sorted[:, 0] < 1e5
+    cmean, lo, hi, nonempty = _tile_intervals(pos_sorted, valid, box_arr, ts)
+    d2 = _tile_pair_dist2(cmean, lo, hi, box_arr)
+    pair_ok = nonempty[:, None] & nonempty[None, :]
+    bad = (~cache.cand) & pair_ok & (d2 <= jnp.float32(r_cutoff) ** 2)
+    return bad.any() | cache.overflow
+
+
+def count_candidates_np(pos, box, ts: int, rc_cand: float,
+                        mode: str = "morton") -> int:
+    """Host-side (numpy) mirror of the AABB candidate enumeration under
+    the chosen sort key: the exact candidate tile-pair count for THIS
+    configuration.  Used to size the pair-list capacity at evaluator build
+    (cap = margin x count) and to pick the better sort key; the runtime
+    overflow flag + full-sweep fallback guard the margin."""
+    pos = np.asarray(pos, np.float64)
+    box = np.asarray(box, np.float64).reshape(3)
+    n = pos.shape[0]
+    n_pad = ((n + ts - 1) // ts) * ts
+    n_tiles = n_pad // ts
+    w = pos - box * np.floor(pos / box)
+    if mode == "z":
+        order = np.argsort(w[:, 2], kind="stable")
+    else:
+        cell = np.clip((w / box * 64.0).astype(np.int64), 0, 63)
+
+        def spread(x):
+            out = np.zeros_like(x)
+            for b in range(6):
+                out |= ((x >> b) & 1) << (3 * b)
+            return out
+
+        key = spread(cell[:, 0]) | (spread(cell[:, 1]) << 1) | \
+            (spread(cell[:, 2]) << 2)
+        order = np.argsort(key, kind="stable")
+    ws = np.full((n_pad, 3), np.nan)
+    ws[:n] = w[order]
+    ws = ws.reshape(n_tiles, ts, 3)
+    valid = ~np.isnan(ws[:, :, 0])
+    theta = ws / box * (2 * np.pi)
+    sn = np.nansum(np.where(valid[:, :, None], np.sin(theta), 0.0), axis=1)
+    cs = np.nansum(np.where(valid[:, :, None], np.cos(theta), 0.0), axis=1)
+    cmean = np.arctan2(sn, cs) * box / (2 * np.pi)
+    dev = np.mod(ws - cmean[:, None, :] + 0.5 * box, box) - 0.5 * box
+    dev = np.where(valid[:, :, None], dev, np.nan)
+    lo = np.nanmin(np.where(valid[:, :, None], dev, np.inf), axis=1)
+    hi = np.nanmax(np.where(valid[:, :, None], dev, -np.inf), axis=1)
+    nonempty = valid.any(axis=1)
+    lo = np.where(nonempty[:, None], lo, 0.0)
+    hi = np.where(nonempty[:, None], hi, 0.0)
+    delta = np.mod(cmean[None, :, :] - cmean[:, None, :] + 0.5 * box,
+                   box) - 0.5 * box
+    gap = np.where(delta >= 0,
+                   delta - hi[:, None, :] + lo[None, :, :],
+                   -delta - hi[None, :, :] + lo[:, None, :])
+    wide = (hi - lo) > 0.5 * box
+    gap = np.where(wide[:, None, :] | wide[None, :, :], 0.0, gap)
+    gap = np.maximum(gap, 0.0)
+    d2 = np.sum(gap * gap, axis=-1)
+    cand = (d2 <= rc_cand ** 2) & nonempty[:, None] & nonempty[None, :]
+    cand |= np.eye(n_tiles, dtype=bool) & nonempty[:, None]
+    ii = np.arange(n_tiles)
+    return int(np.sum(cand & (ii[None, :] >= ii[:, None])))
+
+
+def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
+                  bits_rows_ref, oid_rows_ref, grows_ref, posT_ref, qT_ref,
+                  onehotT_ref, bitsT_ref, oidT_ref, gonehotT_ref, box_ref,
+                  rows_ref, colacc_ref, *, ts, beta, r_cutoff, t_dim,
+                  use_groups, want_energy, pcoef):
+    """AABB-culled tile-pair-list sweep (mode="plist" of the sorted-layout
+    family; see _pair_tri_kernel for the shared math and layout doc).
+
+    The grid is one program per candidate tile pair, scalar-prefetched from
+    the cache's plist; entries are grouped by row tile so the row output
+    block accumulates in VMEM across consecutive programs.  Pad entries
+    (beyond the candidate count) target a trash output tile and skip
+    compute.  Tile pairs whose flag says "no excluded pairs here" skip the
+    exclusion integer ops entirely — on Morton-sorted production systems
+    that is most of them (exclusions are intra-molecular, hence spatially
+    local)."""
+    p = pl.program_id(0)
+    gi = plist_ref[p, 0]
+    j = plist_ref[p, 1]
+    flags = plist_ref[p, 3]
+    active = (flags & 1) != 0
+    has_ex = (flags & 2) != 0
+    first = (flags & 4) != 0
+    diag = gi == j
+
+    @pl.when(p == 0)
+    def _init_colacc():
+        colacc_ref[:, :] = jnp.zeros_like(colacc_ref)
+
+    @pl.when(first)
+    def _init_rows():
+        rows_ref[:, :] = jnp.zeros_like(rows_ref)
+
+    def _body(test_excl):
+        col0 = j * ts
+        a_rows = ab_rows_ref[:, :t_dim]
+        b_rows = ab_rows_ref[:, t_dim:2 * t_dim]
+        px = pos_rows_ref[:, 0:1]
+        py = pos_rows_ref[:, 1:2]
+        pz = pos_rows_ref[:, 2:3]
+        qrow = q_rows_ref[:, :]
+        bx = box_ref[0]
+        by = box_ref[1]
+        bz = box_ref[2]
+        cpos = posT_ref[:, pl.ds(col0, ts)]
+        cx = cpos[0:1, :]
+        cy = cpos[1:2, :]
+        cz = cpos[2:3, :]
+        qcol = qT_ref[:, pl.ds(col0, ts)]
+
+        dx = px - cx
+        dx = dx - bx * jnp.round(dx * (1.0 / bx))
+        dy = py - cy
+        dy = dy - by * jnp.round(dy * (1.0 / by))
+        dz = pz - cz
+        dz = dz - bz * jnp.round(dz * (1.0 / bz))
+        r2 = dx * dx + dy * dy + dz * dz
+
+        if test_excl:
+            delta = oidT_ref[:, pl.ds(col0, ts)] - oid_rows_ref[:, :]
+            bits_rows = bits_rows_ref[:, :]
+            bits_col = bitsT_ref[:, pl.ds(col0, ts)]
+            dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
+            dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
+            excl = (((bits_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
+                   (delta <= MAX_EXCL_OFFSET)
+            excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
+                    (delta >= -MAX_EXCL_OFFSET)
+            alive = delta != 0
+
+        onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
+        a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
+        b = jnp.dot(b_rows, onehot_c, preferred_element_type=jnp.float32)
+        if use_groups:
+            goh_c = gonehotT_ref[:, pl.ds(col0, ts)]
+            allowed = jnp.dot(grows_ref[:, :], goh_c,
+                              preferred_element_type=jnp.float32)
+            a = a * allowed
+            b = b * allowed
+        qq = ONE_4PI_EPS0 * qrow * qcol
+
+        r2s = jnp.maximum(r2, 1e-10)
+        inv_r = jax.lax.rsqrt(r2s)
+        inv_r2 = inv_r * inv_r
+        inv_r2_lj = jnp.minimum(inv_r2, 1e6)
+        inv_r6 = inv_r2_lj * inv_r2_lj * inv_r2_lj
+        alj = a * inv_r6
+        a12 = alj * alj
+        b6 = b * inv_r6
+        e_lj = a12 - b6
+        f_lj = (12.0 * a12 - 6.0 * b6) * inv_r2_lj
+        zero = jnp.zeros_like(r2)
+        if want_energy:
+            r = r2s * inv_r
+            br = beta * r
+            expm = jnp.exp(-br * br)
+            t = 1.0 / (1.0 + 0.3275911 * br)
+            erfc_br = (t * (0.254829592 + t * (-0.284496736
+                       + t * (1.421413741 + t * (-1.453152027
+                       + t * 1.061405429))))) * expm
+            gauss = (2.0 * beta / _SQRT_PI) * expm
+            e_c = qq * erfc_br * inv_r
+            f_c = (e_c + qq * gauss) * jnp.minimum(inv_r2, 1.0 / 0.045 ** 2)
+            erf_inv_r = (1.0 - erfc_br) * inv_r
+            f_x = -qq * (erf_inv_r - gauss) * inv_r2
+        else:
+            pp = jnp.float32(pcoef[-1])
+            for cof in pcoef[-2::-1]:
+                pp = pp * r2s + jnp.float32(cof)
+            w = qq * pp
+            f_c = qq * jnp.minimum(inv_r * inv_r2, 1.0 / 0.045 ** 3) + w
+            f_x = w
+        if test_excl:
+            in_range = alive & ~excl & (r2 < r_cutoff * r_cutoff)
+            corr = alive & excl
+            f_s = jnp.where(in_range, f_lj + f_c, zero) + \
+                jnp.where(corr, f_x, zero)
+        else:
+            in_range = r2 < r_cutoff * r_cutoff
+            f_s = jnp.where(in_range, f_lj + f_c, zero)
+
+        fx = jnp.sum(f_s * dx, axis=1, keepdims=True)
+        fy = jnp.sum(f_s * dy, axis=1, keepdims=True)
+        fz = jnp.sum(f_s * dz, axis=1, keepdims=True)
+        if want_energy:
+            half = jnp.where(diag, 0.5, 1.0)
+            if test_excl:
+                e_x = -qq * erf_inv_r
+                ecorr = half * jnp.sum(jnp.where(corr, e_x, zero), axis=1,
+                                       keepdims=True)
+            else:
+                ecorr = jnp.zeros((ts, 1), jnp.float32)
+            elj = half * jnp.sum(jnp.where(in_range, e_lj, zero), axis=1,
+                                 keepdims=True)
+            ecoul = half * jnp.sum(jnp.where(in_range, e_c, zero), axis=1,
+                                   keepdims=True)
+        else:
+            elj = ecoul = ecorr = jnp.zeros((ts, 1), jnp.float32)
+        pad2 = jnp.zeros((ts, 2), jnp.float32)
+        block = jnp.concatenate(
+            [fx, fy, fz, elj, ecoul, ecorr, pad2], axis=1)
+        rows_ref[:, :] = rows_ref[:, :] + block
+
+        @pl.when(jnp.logical_not(diag))
+        def _acc_cols():
+            gx = -jnp.sum(f_s * dx, axis=0, keepdims=True)
+            gy = -jnp.sum(f_s * dy, axis=0, keepdims=True)
+            gz = -jnp.sum(f_s * dz, axis=0, keepdims=True)
+            cur = colacc_ref[:, pl.ds(col0, ts)]
+            upd = jnp.concatenate(
+                [gx, gy, gz, jnp.zeros((5, ts), jnp.float32)], axis=0)
+            colacc_ref[:, pl.ds(col0, ts)] = cur + upd
+
+    if want_energy:
+        # energy queries are rare: keep one fully-masked specialization
+        @pl.when(active)
+        def _all():
+            _body(True)
+    else:
+        @pl.when(active & has_ex)
+        def _excl_tiles():
+            _body(True)
+
+        @pl.when(active & jnp.logical_not(has_ex))
+        def _plain_tiles():
+            _body(False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("beta", "r_cutoff", "ts", "n_real",
+                                    "t_dim", "want_energy", "interpret"))
+def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
+               onehotT, bitsT, oidT, gonehotT, box, beta, r_cutoff, ts,
+               n_real, t_dim, want_energy=False, interpret=False):
+    n_pad = posT.shape[1]
+    n_tiles = n_pad // ts
+    cap = plist.shape[0]
+    use_groups = gonehotT.shape[0] > 1
+    kernel = functools.partial(
+        _plist_kernel, ts=ts, beta=beta, r_cutoff=r_cutoff, t_dim=t_dim,
+        use_groups=use_groups, want_energy=want_energy,
+        pcoef=_pfit_scaled(float(beta), float(r_cutoff)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((ts, 3), lambda p, pref: (pref[p, 0], 0)),
+            pl.BlockSpec((ts, 1), lambda p, pref: (pref[p, 0], 0)),
+            pl.BlockSpec((ts, ab.shape[1]),
+                         lambda p, pref: (pref[p, 0], 0)),
+            pl.BlockSpec((ts, 1), lambda p, pref: (pref[p, 0], 0)),
+            pl.BlockSpec((ts, 1), lambda p, pref: (pref[p, 0], 0)),
+            pl.BlockSpec((ts, grows.shape[1]),
+                         lambda p, pref: (pref[p, 0], 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ts, 8), lambda p, pref: (pref[p, 2], 0)),
+            pl.BlockSpec((8, n_pad), lambda p, pref: (0, 0)),
+        ),
+    )
+    rows, colacc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(((n_tiles + 1) * ts, 8), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT,
+      bitsT, oidT, gonehotT, box)
+    # drop the trash tile pad entries target
+    return rows[:n_tiles * ts], colacc
+
+
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "tm", "tn", "n_real",
                                     "interpret"))
@@ -786,29 +1231,42 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                         symmetric: bool = True, ts: int = 512,
                         band_w: int = 0, want_energy: bool = True,
                         cache: "PairCache | None" = None,
-                        with_flag: bool = False):
+                        with_flag: bool = False, mode: str = "band",
+                        plist_cap: int = 0, skin: float = 0.1,
+                        plist_sort: str = "morton"):
     """Drop-in replacement for allpairs.direct_space_dense on TPU.
 
     symmetric=True runs the upper-triangle kernel (half the pair work via
     Newton's third law); False runs the full rectangular sweep.
 
-    band_w > 0 enables the z-banded sweep: atoms are sorted by wrapped z and
-    only tile pairs within band_w circular tile offsets are computed;
-    exclusion masks are tested against carried original indices inside the
-    kernel, so the sort needs no cluster structure.  Pass a PairCache (from
-    make_pair_cache, refreshed every few dozen steps) to skip the per-call
-    sort and static-table permutation; without one the sort happens here.
-    A per-call coverage check against CURRENT positions (band_coverage_bad)
-    selects an exhaustive full-sweep fallback branch if an uncovered tile
-    pair ever comes within the cutoff, so a stale cached sort or a band
-    narrower than the current density still produces CORRECT forces —
-    callers additionally rebuild the cache when the check trips so the
-    fallback only pays for one step."""
+    mode="band" with band_w > 0 enables the z-banded sweep: atoms are
+    sorted by wrapped z and only tile pairs within band_w circular tile
+    offsets are computed; exclusion masks are tested against carried
+    original indices inside the kernel, so the sort needs no cluster
+    structure.
+
+    mode="plist" with plist_cap > 0 enables the Morton tile-pair-list
+    sweep: atoms are sorted in 3-D Z-order and only tile pairs whose
+    circular AABBs come within cutoff+skin are enumerated (scalar-
+    prefetched list) — unlike the z band this also culls the x/y
+    cross-section, ~2x fewer pair slots on the bulk workloads.
+
+    Pass a PairCache (from make_pair_cache with the matching mode,
+    refreshed every few dozen steps) to skip the per-call sort and
+    static-table permutation; without one the sort happens here.  A
+    per-call coverage check against CURRENT positions (band_coverage_bad /
+    plist_coverage_bad) selects an exhaustive full-sweep fallback branch if
+    an uncovered tile pair ever comes within the cutoff, so a stale cached
+    sort, a band narrower than the current density, or a pair-list overflow
+    still produce CORRECT forces — callers additionally rebuild the cache
+    when the check trips so the fallback only pays for one step."""
     n = pos.shape[0]
     blk = ts if symmetric else max(tm, tn)
     n_pad = ((n + blk - 1) // blk) * blk
     pad = n_pad - n
-    use_band = symmetric and band_eligible(n_pad, ts, band_w)
+    use_plist = symmetric and mode == "plist" and plist_cap > 0
+    use_band = (symmetric and not use_plist
+                and band_eligible(n_pad, ts, band_w))
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
     iota = jnp.arange(n_pad, dtype=jnp.int32)
 
@@ -817,7 +1275,22 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
 
     flag = None
     invperm = None
-    if use_band:
+    if use_plist:
+        if cache is None or cache.plist is None:
+            cache = make_pair_cache(pos, box_arr, charges, tables, ts,
+                                    mode=plist_sort, cap=plist_cap,
+                                    rc_cand=r_cutoff + skin)
+        invperm = cache.invperm
+        pos2d = pos2d[cache.perm]
+        q2d, ab, bits2d, grows = cache.q2d, cache.ab, cache.bits2d, \
+            cache.grows
+        bits14_2d = cache.bits14_2d
+        oid2d = cache.perm.reshape(-1, 1)
+        qT, bitsT, oidT = cache.qT, cache.bitsT, cache.oidT
+        bits14T = cache.bits14T
+        onehotT, gonehotT = cache.onehotT, cache.gonehotT
+        flag = plist_coverage_bad(pos2d, box_arr, cache, ts, r_cutoff)
+    elif use_band:
         if cache is None:
             cache = make_pair_cache(pos, box_arr, charges, tables, ts)
         invperm = cache.invperm
@@ -854,7 +1327,28 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         tri_kw = dict(beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
                       n_real=n, t_dim=t_dim, has14=has14,
                       want_energy=want_energy, interpret=interpret)
-        if use_band:
+        if use_plist:
+            if has14:
+                raise NotImplementedError(
+                    "plist mode folds 1-4 exceptions via the dense "
+                    "molecular path; build tables with fold_exc14=False")
+            # pair-list sweep, with the exhaustive sorted-layout sweep as
+            # the lax.cond fallback whenever the coverage check trips or
+            # the candidate list overflowed — the step stays CORRECT,
+            # merely slower; callers rebuild the cache on the flag
+            rows, colacc = jax.lax.cond(
+                flag,
+                lambda a: _run_tri(*a, band_w=0, full_sweep=True, **tri_kw),
+                lambda a: _run_plist(
+                    cache.plist, a[0], a[1], a[2], a[3], a[5], a[6], a[7],
+                    a[8], a[9], a[10], a[12], a[13], a[14],
+                    beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
+                    n_real=n, t_dim=t_dim, want_energy=want_energy,
+                    interpret=interpret),
+                tri_args)
+            f_full = rows[:, :3] + colacc[:3, :].T
+            forces = f_full[invperm][:n]
+        elif use_band:
             # banded sweep, with the exhaustive sorted-layout sweep as the
             # lax.cond fallback whenever the coverage check trips (stale
             # sort is handled upstream by a cache rebuild; this branch

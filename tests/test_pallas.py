@@ -154,6 +154,93 @@ def test_pallas_band_coverage_fallback_stays_exact():
                                rtol=2e-3, atol=2e-1)
 
 
+@pytest.mark.parametrize("sort,want_energy",
+                         [("z", True), ("z", False),
+                          ("morton", True), ("morton", False)])
+def test_pallas_plist_matches_dense(sort, want_energy):
+    """AABB-culled tile-pair-list sweep == dense sweep, under both sort
+    keys (thin z slabs and Morton blobs)."""
+    rng = np.random.default_rng(3)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl,
+                                        fold_exc14=False)
+    beta, rc = 2.2, 1.2
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    cnt = pallas_pair.count_candidates_np(pos, box, 128, rc + 0.1, mode=sort)
+    cap = int(cnt * 1.6) + 16
+    e1 = allpairs.direct_space_dense(posj, box, qj, tables, beta, rc, 256)
+    e2 = pallas_pair.direct_space_pallas(
+        posj, box, qj, tables, beta, rc, ts=128, interpret=True,
+        mode="plist", plist_cap=cap, plist_sort=sort,
+        want_energy=want_energy)
+    if want_energy:
+        for x, y in zip(e1[:3], e2[:3]):
+            np.testing.assert_allclose(float(y), float(x), rtol=5e-5,
+                                       atol=0.05)
+    np.testing.assert_allclose(np.asarray(e2[5]), np.asarray(e1[5]),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_pallas_plist_stale_cache_falls_back_exact():
+    """A badly stale plist cache (positions shifted by a third of the box)
+    must trip the coverage check and take the exhaustive full-sweep
+    fallback — results stay exact."""
+    rng = np.random.default_rng(5)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl,
+                                        fold_exc14=False)
+    beta, rc = 2.2, 1.2
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    # shift a subset of molecules far in z: the cached candidate set no
+    # longer covers the interacting tile pairs
+    shift = jnp.zeros_like(posj).at[: 300 * 4, 2].add(4.0)
+    cache = pallas_pair.make_pair_cache(
+        posj + shift, box, qj, tables, 128, mode="z",
+        cap=int(pallas_pair.count_candidates_np(
+            np.asarray(posj + shift), box, 128, rc + 0.1, mode="z")
+            * 1.6) + 16, rc_cand=rc + 0.1)
+    n = posj.shape[0]
+    pad = cache.perm.shape[0] - n
+    pos_sorted = jnp.concatenate(
+        [posj, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)[cache.perm]
+    assert bool(pallas_pair.plist_coverage_bad(
+        pos_sorted, box, cache, 128, rc))
+    e1 = allpairs.direct_space_dense(posj, box, qj, tables, beta, rc, 256)
+    e2 = pallas_pair.direct_space_pallas(
+        posj, box, qj, tables, beta, rc, ts=128, interpret=True,
+        mode="plist", plist_cap=cache.plist.shape[0], cache=cache)
+    for x, y in zip(e1[:3], e2[:3]):
+        np.testing.assert_allclose(float(y), float(x), rtol=5e-5, atol=0.05)
+    np.testing.assert_allclose(np.asarray(e2[5]), np.asarray(e1[5]),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_pallas_plist_overflow_falls_back_exact():
+    """An undersized pair-list capacity must set the overflow flag and take
+    the full-sweep fallback — exact results instead of dropped tiles."""
+    rng = np.random.default_rng(4)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl,
+                                        fold_exc14=False)
+    beta, rc = 2.2, 1.2
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    cache = pallas_pair.make_pair_cache(posj, box, qj, tables, 128,
+                                        mode="morton", cap=3,
+                                        rc_cand=rc + 0.1)
+    assert bool(cache.overflow)
+    e1 = allpairs.direct_space_dense(posj, box, qj, tables, beta, rc, 256)
+    e2 = pallas_pair.direct_space_pallas(
+        posj, box, qj, tables, beta, rc, ts=128, interpret=True,
+        mode="plist", plist_cap=3, cache=cache)
+    for x, y in zip(e1[:3], e2[:3]):
+        np.testing.assert_allclose(float(y), float(x), rtol=5e-5, atol=0.05)
+    np.testing.assert_allclose(np.asarray(e2[5]), np.asarray(e1[5]),
+                               rtol=1e-3, atol=5e-2)
+
+
 def test_pallas_exc14_matches_dense_and_term_pass():
     """Kernel-handled 1-4 exceptions: pallas == dense == sparse-term-pass
     reference, energies and forces."""
