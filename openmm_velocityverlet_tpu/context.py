@@ -61,12 +61,16 @@ class Context:
                  external_forces: Sequence = (),
                  barostat: Optional[baro_mod.BarostatConfig] = None,
                  positions=None, box=None, row_block: int = 1024,
-                 ewald_chunk: int = 4096, sort_refresh: int = 25,
+                 ewald_chunk: int = 4096, sort_refresh: int = 120,
                  pair_ts: int = 0, fold_exc14: bool = False,
                  recip: str = "auto", **_legacy):
-        # sort_refresh: steps between z-sort cache rebuilds for the banded
-        # pair sweep (staleness is safe — the per-step coverage check runs
-        # against current positions; 25 amortizes the ~0.33 ms device sort)
+        # sort_refresh: steps between spatial-sort cache rebuilds for the
+        # tiled pair sweeps.  Staleness is SAFE at any interval — the
+        # per-step coverage check runs against current positions and a trip
+        # costs one exact full-sweep step plus an immediate rebuild — so
+        # this only trades amortized rebuild cost (~13 ms at 19.5k atoms)
+        # against the rare fallback step; at 333 K / 1 fs the 0.1 nm
+        # candidate skin stays covered for >240 steps
         self.sort_refresh = int(sort_refresh)
         self.system = system
         self.integrator = integrator

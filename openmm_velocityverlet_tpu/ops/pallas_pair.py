@@ -259,20 +259,33 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
         ii = jnp.arange(n_tiles, dtype=jnp.int32)
         cand = cand | (jnp.eye(n_tiles, dtype=bool) & nonempty[:, None])
         # exclusion tile-pair flags: excluded pairs live at original-index
-        # offsets 1..31, so scatter (tile[o], tile[o+d]) for every set bit
+        # offsets 1..31.  A conservative bucket formulation keeps this off
+        # the (slow) scatter path: bucket original indices by 32 (>= the
+        # max offset, so a partner o+d is always in bucket b(o) or b(o)+1)
+        # and flag (t_i, t_j) when tile i holds an atom with ANY forward
+        # exclusion bit in bucket b and tile j holds ANY atom in buckets
+        # {b, b+1}.  Strict superset of the exact pair test (over-flagged
+        # tiles merely run the in-kernel exact mask ops), built from two
+        # (T,n)x(n,B) one-hot matmuls — MXU work, no scatters; the exact
+        # scatter version cost ~10 ms of the 13 ms rebuild at 19.5k atoms.
         t_of = invperm[:n] // ts                               # (n,) i32
         bits_o = jnp.asarray(tables["excl_bits"]).astype(jnp.int32)
         if tables.get("has_exc14", False):
             bits_o = bits_o | jnp.asarray(
                 tables["exc14_bits"]).astype(jnp.int32)
-        d = jnp.arange(1, MAX_EXCL_OFFSET + 1, dtype=jnp.int32)
-        o = jnp.arange(n, dtype=jnp.int32)
-        hasb = ((bits_o[:, None] >> d[None, :]) & 1) > 0       # (n,31)
-        pj = jnp.minimum(o[:, None] + d[None, :], n - 1)
-        ti = jnp.broadcast_to(t_of[:, None], hasb.shape)
-        tj = t_of[pj]
-        excl_mat = jnp.zeros((n_tiles, n_tiles), bool).at[
-            ti.reshape(-1), tj.reshape(-1)].max(hasb.reshape(-1))
+        n_buckets = -(-n // 32)
+        bucket = jnp.arange(n, dtype=jnp.int32) // 32
+        oh_t = (t_of[:, None] == ii[None, :]).astype(jnp.float32)  # (n,T)
+        oh_b = (bucket[:, None] == jnp.arange(n_buckets, dtype=jnp.int32)
+                [None, :]).astype(jnp.float32)                     # (n,B)
+        has_any = (bits_o != 0).astype(jnp.float32)
+        a_tb = jnp.dot(oh_t.T, oh_b * has_any[:, None],
+                       preferred_element_type=jnp.float32)         # (T,B)
+        c_tb = jnp.dot(oh_t.T, oh_b,
+                       preferred_element_type=jnp.float32)         # (T,B)
+        reach = c_tb + jnp.pad(c_tb[:, 1:], ((0, 0), (0, 1)))
+        excl_mat = jnp.dot(a_tb, reach.T,
+                           preferred_element_type=jnp.float32) > 0
         excl_mat = excl_mat | excl_mat.T
         # compact the upper triangle row-major (ascending flat index keeps
         # entries grouped by row tile, so row output blocks are revisited
