@@ -47,12 +47,14 @@ class Carry:
     forces: jnp.ndarray        # (N,3) cached FF forces (VV scheme carry)
     forces_extra: jnp.ndarray  # (N,3) cached extra forces (VV scheme carry)
     forces_valid: jnp.ndarray  # () bool
-    # z-sort cache for the banded pair sweep (None when banding is off);
-    # refreshed every sort_refresh steps inside the step itself
-    pair_cache: typing.Any = None
-    # last step's band-coverage flag: True means that step ran the exact
-    # full-sweep fallback and the cache should be rebuilt now (one coverage
-    # check per step total — computed inside the pair sweep, consumed here)
+    # last step's pair-coverage flag: True means that step ran the exact
+    # full-sweep fallback; the next chunk's entry cond rebuilds the cache
+    # (one coverage check per step total — computed inside the pair sweep,
+    # consumed at the chunk boundary).  The spatial-sort cache itself is
+    # NOT carried: it is a loop-invariant argument of step_n, rebuilt by
+    # the host every sort_refresh steps (async dispatch, no syncs) —
+    # carrying it through a per-step cond cost ~90 us/step in XLA
+    # conditional operand copies.
     cov_bad: typing.Any = None
 
 
@@ -97,6 +99,9 @@ class Context:
         self._carry: Optional[Carry] = None
         self._compiled = {}
         self._chunk_scalars = {}
+        self._pair_cache = None
+        self._steps_since_cache = 0
+        self._rebuilds = 0
         if positions is not None:
             self.set_positions(positions)
         if getattr(integrator, "debug_enabled", False):
@@ -138,13 +143,10 @@ class Context:
         vol = float(st.box[0] * st.box[1] * st.box[2])
         baro = baro_mod.make_barostat_state(vol)
         n = self.system.n_atoms
-        cache = (jax.jit(self.evaluator.make_pair_cache)(st.pos, st.box)
-                 if self.evaluator.uses_band else None)
         return Carry(state=st, baro=baro,
                      forces=jnp.zeros((n, 3), f32),
                      forces_extra=jnp.zeros((n, 3), f32),
                      forces_valid=jnp.zeros((), bool),
-                     pair_cache=cache,
                      cov_bad=jnp.zeros((), bool))
 
     # --------------------------------------------------------- public API
@@ -221,15 +223,62 @@ class Context:
         return v, inv_vis_md * 6.02214076e5
 
     def step(self, n: int):
-        """Advance n steps as one device program (no host round-trips)."""
+        """Advance n steps (async device dispatches, no host round-trips).
+
+        The spatial-sort pair cache is a loop-invariant argument of each
+        chunk: the host splits n at sort_refresh boundaries and chains a
+        jitted rebuild between chunks — every dispatch is async, so the
+        device never waits on the host.  Within a chunk, a coverage trip
+        runs the exact fallback sweep (correct, slower) and the next
+        chunk's entry cond rebuilds device-side."""
         if self._carry is None:
             self._carry = self._make_carry()
+            self._pair_cache = None
+            self._steps_since_cache = 0
+        ev = self.evaluator
+        if ev.uses_band and self._pair_cache is None:
+            st = self._carry.state
+            self._pair_cache = self._get_compiled("pair_cache")(
+                st.pos, st.box)
+            self._steps_since_cache = 0
+            self._rebuilds = 0
         fn = self._get_compiled("step_n")
         n = int(n)
-        # cache the device scalar: a fresh host scalar costs a ~100 ms upload
+        rebuild_first = (ev.uses_band
+                         and self._steps_since_cache >= self.sort_refresh)
+        # cache the device scalars: a fresh host scalar costs an upload
+        # (keys: ints for n, ("b", flag) for bools — True would otherwise
+        # collide with the int key 1)
         if n not in self._chunk_scalars:
             self._chunk_scalars[n] = jnp.asarray(n, i32)
-        self._carry = fn(self._carry, self._chunk_scalars[n])
+        bkey = ("b", rebuild_first)
+        if bkey not in self._chunk_scalars:
+            self._chunk_scalars[bkey] = jnp.asarray(rebuild_first, bool)
+        self._carry, cache = fn(self._carry, self._pair_cache,
+                                self._chunk_scalars[n],
+                                self._chunk_scalars[bkey])
+        if ev.uses_band:
+            self._pair_cache = cache
+            # trips make the on-device segmentation data-dependent, so the
+            # host only bounds staleness: if a rebuild certainly happened,
+            # the returned cache is at most min(n, refresh) steps old
+            # (conservative — an early-trip rebuild is fresher)
+            rebuilt = rebuild_first or n > self.sort_refresh
+            if rebuilt:
+                self._steps_since_cache = min(n, self.sort_refresh)
+                self._rebuilds += 1
+                if (self._rebuilds % 64 == 0
+                        and cache.overflow is not None
+                        and bool(cache.overflow)):
+                    # safety valve (syncs, hence the 64-rebuild cadence):
+                    # sustained density growth overflowed the candidate
+                    # list and every step is falling back to the exact
+                    # full sweep — grow the capacity and recompile.
+                    ev.plist_cap = int(ev.plist_cap * 1.5) + 64
+                    self._compiled.clear()
+                    self._pair_cache = None
+            else:
+                self._steps_since_cache += n
         self.state = self._carry.state
 
     # ------------------------------------------------------ compiled fns
@@ -248,12 +297,59 @@ class Context:
                 _, f = self.evaluator.energy_forces(state.pos, state.box)
                 return f
             fn = jax.jit(forces)
+        elif name == "pair_cache":
+            fn = jax.jit(self.evaluator.make_pair_cache)
         elif name == "step_n":
             single = self._build_step_fn()
+            ev = self.evaluator
+            uses_band = ev.uses_band
+            refresh = self.sort_refresh
 
             @jax.jit
-            def step_n(carry, n):
-                return jax.lax.fori_loop(0, n, lambda i, c: single(c), carry)
+            def step_n(carry, cache, n, rebuild_first):
+                """One device program for n steps: an outer loop over
+                cache segments rebuilds the spatial-sort cache at segment
+                starts; the inner loop treats the cache as loop-invariant
+                and ends a segment either at sort_refresh steps or EARLY,
+                right after a step whose coverage check tripped (that step
+                already ran the exact fallback sweep, so a trip costs one
+                slow step plus a rebuild — never a tail of fallback
+                steps).  Keeping the cache out of the inner carry avoids
+                ~90 us/step of XLA conditional operand copies, and doing
+                the segmenting on-device keeps ctx.step(n) a single
+                dispatch (the tunnel charges ~20-30 ms per host call)."""
+                if not uses_band:
+                    return jax.lax.fori_loop(
+                        0, n, lambda i, c: single(c, None), carry), cache
+
+                def outer_cond(s):
+                    return s[2] < n
+
+                def outer_body(s):
+                    carry, cache, done, first = s
+                    need = (~first) | rebuild_first | carry.cov_bad
+                    cache = jax.lax.cond(
+                        need,
+                        lambda a: ev.make_pair_cache(a[0], a[1]),
+                        lambda a: cache,
+                        (carry.state.pos, carry.state.box))
+                    carry = carry.replace(cov_bad=jnp.zeros((), bool))
+                    lim = jnp.minimum(done + refresh, n)
+
+                    def inner_cond(t):
+                        return (t[1] < lim) & ~t[0].cov_bad
+
+                    def inner_body(t):
+                        return single(t[0], cache), t[1] + 1
+
+                    carry, done = jax.lax.while_loop(
+                        inner_cond, inner_body, (carry, done))
+                    return (carry, cache, done, jnp.zeros((), bool))
+
+                carry, cache, _, _ = jax.lax.while_loop(
+                    outer_cond, outer_body,
+                    (carry, cache, jnp.zeros((), i32), jnp.ones((), bool)))
+                return carry, cache
             fn = step_n
         else:
             raise KeyError(name)
@@ -276,25 +372,7 @@ class Context:
         has_extra = has_ld or has_ef or has_cos
         has_cons = cons.n_constraints > 0
         baro_cfg = self.barostat_cfg
-        uses_band = ev.uses_band
-        refresh = self.sort_refresh
         mol_runs = stepping.mol_runs_from_id(sysm.particle_mol_id)
-
-        def refreshed_cache(carry: Carry):
-            """Rebuild the z-sort cache every `refresh` steps OR when the
-            previous step's coverage flag says the cached sort no longer
-            band-covered the positions (that step already ran the exact
-            full-sweep fallback, so correctness never depended on the
-            rebuild — this just restores banded speed).  Both lax.cond
-            branches are compiled; only one executes per step."""
-            if not uses_band:
-                return None
-            st = carry.state
-            return jax.lax.cond(
-                (st.step % refresh == 0) | carry.cov_bad,
-                lambda a: ev.make_pair_cache(a[0], a[1]),
-                lambda a: carry.pair_cache,
-                (st.pos, st.box))
 
         def extra_forces(pos, vel, box, key, ld_as_force=True):
             f = jnp.zeros_like(pos)
@@ -365,10 +443,8 @@ class Context:
             return carry.replace(state=st), invalidated
 
         # ------------------------------ middle scheme (stepMiddle) --------
-        def step_middle(carry: Carry) -> Carry:
+        def step_middle(carry: Carry, cache=None) -> Carry:
             carry, _ = update_context_state(carry)
-            cache = refreshed_cache(carry)
-            carry = carry.replace(pair_cache=cache)
             st = carry.state
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 
@@ -418,10 +494,8 @@ class Context:
             return carry.replace(state=st)
 
         # --------------------------- vanilla VV scheme (stepVV) -----------
-        def step_vv(carry: Carry) -> Carry:
+        def step_vv(carry: Carry, cache=None) -> Carry:
             carry, invalidated = update_context_state(carry)
-            cache = refreshed_cache(carry)
-            carry = carry.replace(pair_cache=cache)
             st = carry.state
             pos, err, vel, box = st.pos, st.pos_err, st.vel, st.box
 

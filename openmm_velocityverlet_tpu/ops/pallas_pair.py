@@ -135,26 +135,34 @@ def _morton_key(pos, box, n_pad):
 
 def _tile_intervals(pos_sorted, valid, box, ts):
     """Per-tile circular AABBs along each axis: (cmean, lo, hi, nonempty)
-    with shapes (T,3),(T,3),(T,3),(T,).  Circular means keep tiles that
-    straddle a periodic boundary tight instead of box-wide."""
+    with shapes (T,3),(T,3),(T,3),(T,).  A tile straddling a periodic
+    boundary is measured in two frames — wrapped [0,L) and half-shifted —
+    and the narrower interval wins, which keeps it tight instead of
+    box-wide (equivalent conservativeness to a circular mean but pure
+    min/max, no trig; this runs in the per-step coverage check)."""
     n_pad = pos_sorted.shape[0]
     n_tiles = n_pad // ts
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
     w = pos_sorted - box_arr * jnp.floor(pos_sorted / box_arr)
     w = w.reshape(n_tiles, ts, 3)
     v = valid.reshape(n_tiles, ts, 1)
-    two_pi = jnp.float32(2.0 * np.pi)
-    theta = w * (two_pi / box_arr)
-    sn = jnp.sum(jnp.where(v, jnp.sin(theta), 0.0), axis=1)
-    cs = jnp.sum(jnp.where(v, jnp.cos(theta), 0.0), axis=1)
-    cmean = jnp.arctan2(sn, cs) * (box_arr / two_pi)           # (T,3)
-    dev = jnp.mod(w - cmean[:, None, :] + 0.5 * box_arr,
-                  box_arr) - 0.5 * box_arr
-    lo = jnp.min(jnp.where(v, dev, jnp.inf), axis=1)
-    hi = jnp.max(jnp.where(v, dev, -jnp.inf), axis=1)
+    half = 0.5 * box_arr
+    w2 = w - jnp.where(w >= half, box_arr, 0.0)     # half-shifted frame
+    big = jnp.float32(1e30)
+    lo1 = jnp.min(jnp.where(v, w, big), axis=1)
+    hi1 = jnp.max(jnp.where(v, w, -big), axis=1)
+    lo2 = jnp.min(jnp.where(v, w2, big), axis=1)
+    hi2 = jnp.max(jnp.where(v, w2, -big), axis=1)
+    use2 = (hi2 - lo2) < (hi1 - lo1)                # (T,3)
+    lo_w = jnp.where(use2, lo2, lo1)
+    hi_w = jnp.where(use2, hi2, hi1)
+    cmean = 0.5 * (lo_w + hi_w)
+    lo = lo_w - cmean
+    hi = hi_w - cmean
     nonempty = valid.reshape(n_tiles, ts).any(axis=1)
     lo = jnp.where(nonempty[:, None], lo, 0.0)
     hi = jnp.where(nonempty[:, None], hi, 0.0)
+    cmean = jnp.where(nonempty[:, None], cmean, 0.0)
     return cmean, lo, hi, nonempty
 
 
@@ -879,17 +887,20 @@ def count_candidates_np(pos, box, ts: int, rc_cand: float,
     ws[:n] = w[order]
     ws = ws.reshape(n_tiles, ts, 3)
     valid = ~np.isnan(ws[:, :, 0])
-    theta = ws / box * (2 * np.pi)
-    sn = np.nansum(np.where(valid[:, :, None], np.sin(theta), 0.0), axis=1)
-    cs = np.nansum(np.where(valid[:, :, None], np.cos(theta), 0.0), axis=1)
-    cmean = np.arctan2(sn, cs) * box / (2 * np.pi)
-    dev = np.mod(ws - cmean[:, None, :] + 0.5 * box, box) - 0.5 * box
-    dev = np.where(valid[:, :, None], dev, np.nan)
-    lo = np.nanmin(np.where(valid[:, :, None], dev, np.inf), axis=1)
-    hi = np.nanmax(np.where(valid[:, :, None], dev, -np.inf), axis=1)
+    v = valid[:, :, None]
+    w2 = ws - np.where(ws >= 0.5 * box, box, 0.0)
+    lo1 = np.nanmin(np.where(v, ws, np.inf), axis=1)
+    hi1 = np.nanmax(np.where(v, ws, -np.inf), axis=1)
+    lo2 = np.nanmin(np.where(v, w2, np.inf), axis=1)
+    hi2 = np.nanmax(np.where(v, w2, -np.inf), axis=1)
+    use2 = (hi2 - lo2) < (hi1 - lo1)
+    lo_w = np.where(use2, lo2, lo1)
+    hi_w = np.where(use2, hi2, hi1)
+    cmean = 0.5 * (lo_w + hi_w)
     nonempty = valid.any(axis=1)
-    lo = np.where(nonempty[:, None], lo, 0.0)
-    hi = np.where(nonempty[:, None], hi, 0.0)
+    lo = np.where(nonempty[:, None], lo_w - cmean, 0.0)
+    hi = np.where(nonempty[:, None], hi_w - cmean, 0.0)
+    cmean = np.where(nonempty[:, None], cmean, 0.0)
     delta = np.mod(cmean[None, :, :] - cmean[:, None, :] + 0.5 * box,
                    box) - 0.5 * box
     gap = np.where(delta >= 0,
