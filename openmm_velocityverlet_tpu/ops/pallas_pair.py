@@ -106,9 +106,15 @@ class PairCache(NamedTuple):
     onehotT: jnp.ndarray     # (T,n_pad)
     gonehotT: jnp.ndarray    # (G,n_pad)
     # tile-pair-list fields (mode="morton"; zero-size placeholders for "z")
-    plist: jnp.ndarray = None   # (cap,4) i32 [in_tile, col_tile, out_tile,
-    #                             flags: bit0 active, bit1 has_excl, bit2
-    #                             first-visit-of-row-tile]
+    plist: jnp.ndarray = None   # (cap,) i32, one packed word per entry:
+    #                             row_tile<<17 | col_tile<<3 | flags
+    #                             (bit0 active, bit1 has_excl, bit2
+    #                             first-visit-of-row-tile).  Packed AND 1-D
+    #                             because the array is scalar-prefetched to
+    #                             SMEM (1 MiB): Mosaic pads the minor dim
+    #                             of a 2-D SMEM operand to 128 lanes, so
+    #                             even (cap,1) i32 ballooned 128x and
+    #                             overflowed SMEM at EDL scale
     cand: jnp.ndarray = None    # (T,T) bool AABB-candidate tile pairs
     overflow: jnp.ndarray = None  # () bool: candidate count exceeded cap
 
@@ -307,11 +313,13 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
         first = active & jnp.concatenate(
             [jnp.ones((1,), bool), i_t[1:] != i_t[:-1]])
         has_ex = active & (excl_mat[i_t, j_t] | (i_t == j_t))
-        out_i = jnp.where(active, i_t, n_tiles)
         flags = (active.astype(jnp.int32)
                  | (has_ex.astype(jnp.int32) << 1)
                  | (first.astype(jnp.int32) << 2))
-        plist = jnp.stack([i_t, j_t, out_i, flags], axis=1)
+        # one packed word per entry (see PairCache.plist); 14 bits per tile
+        # index caps the kernel at 16,384 tiles (~2M atoms at ts=128)
+        assert n_tiles < (1 << 14), "plist packing: too many tiles"
+        plist = (i_t << 17) | (j_t << 3) | flags
     return PairCache(
         perm=perm, invperm=invperm, q2d=q2d, ab=ab, bits2d=bits2d,
         bits14_2d=bits14_2d,
@@ -930,9 +938,10 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
     that is most of them (exclusions are intra-molecular, hence spatially
     local)."""
     p = pl.program_id(0)
-    gi = plist_ref[p, 0]
-    j = plist_ref[p, 1]
-    flags = plist_ref[p, 3]
+    word = plist_ref[p]
+    gi = word >> 17
+    j = (word >> 3) & 0x3FFF
+    flags = word & 7
     active = (flags & 1) != 0
     has_ex = (flags & 2) != 0
     first = (flags & 4) != 0
@@ -1095,18 +1104,24 @@ def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
         _plist_kernel, ts=ts, beta=beta, r_cutoff=r_cutoff, t_dim=t_dim,
         use_groups=use_groups, want_energy=want_energy,
         pcoef=_pfit_scaled(float(beta), float(r_cutoff)))
+    def _row(p, pref):
+        return (pref[p] >> 17, 0)
+
+    def _out_row(p, pref):
+        # pad entries (active bit clear) park on the trash tile n_tiles
+        return (jnp.where((pref[p] & 1) == 1, pref[p] >> 17, n_tiles),
+                0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(cap,),
         in_specs=[
-            pl.BlockSpec((ts, 3), lambda p, pref: (pref[p, 0], 0)),
-            pl.BlockSpec((ts, 1), lambda p, pref: (pref[p, 0], 0)),
-            pl.BlockSpec((ts, ab.shape[1]),
-                         lambda p, pref: (pref[p, 0], 0)),
-            pl.BlockSpec((ts, 1), lambda p, pref: (pref[p, 0], 0)),
-            pl.BlockSpec((ts, 1), lambda p, pref: (pref[p, 0], 0)),
-            pl.BlockSpec((ts, grows.shape[1]),
-                         lambda p, pref: (pref[p, 0], 0)),
+            pl.BlockSpec((ts, 3), _row),
+            pl.BlockSpec((ts, 1), _row),
+            pl.BlockSpec((ts, ab.shape[1]), _row),
+            pl.BlockSpec((ts, 1), _row),
+            pl.BlockSpec((ts, 1), _row),
+            pl.BlockSpec((ts, grows.shape[1]), _row),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1116,7 +1131,7 @@ def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((ts, 8), lambda p, pref: (pref[p, 2], 0)),
+            pl.BlockSpec((ts, 8), _out_row),
             pl.BlockSpec((8, n_pad), lambda p, pref: (0, 0)),
         ),
     )
