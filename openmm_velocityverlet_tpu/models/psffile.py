@@ -120,6 +120,15 @@ class OplsPsfFile:
         self.dihedrals = quads("NPHI", 4)
         self.impropers = quads("NIMPHI", 4)
 
+        # CMAP cross-terms (oplspsffile.py:430-465, force group 3): no
+        # bundled workload carries any (SURVEY §7.5); fail loudly rather
+        # than silently dropping energy terms
+        if "NCRTERM" in sections and sections["NCRTERM"][0] \
+                and int(sections["NCRTERM"][0][0]) > 0:
+            raise NotImplementedError(
+                "PSF declares CMAP cross-terms (NCRTERM > 0); CMAP "
+                "torsions are not implemented in this engine")
+
         # lone pairs (NUMLP NUMLPH), oplspsffile.py:384-411
         self.lonepairs = []
         if "NUMLP NUMLPH" in sections:

@@ -94,3 +94,26 @@ def test_create_system_bookkeeping():
     alpha = -psf.drudeconsts[np.asarray(s.drude_pairs)[:, 1], 0] / 1000.0
     np.testing.assert_allclose(np.asarray(s.drude_k3),
                                ONE_4PI_EPS0 * q * q / alpha, rtol=1e-4)
+
+
+def test_psf_cmap_terms_raise(tmp_path):
+    """CMAP cross-terms (oplspsffile.py:430-465) are unimplemented; the
+    parser must fail loudly instead of silently dropping energy terms."""
+    text = open(MODEL + "topol.psf").read()
+    text += "\n       2 !NCRTERM: cross-terms\n" \
+            "       1       2       3       4       3       4       5       6\n" \
+            "       5       6       7       8       7       8       9      10\n"
+    p = tmp_path / "cmap.psf"
+    p.write_text(text)
+    with pytest.raises(NotImplementedError, match="CMAP"):
+        OplsPsfFile(str(p))
+
+
+def test_grofile_triclinic_raises(tmp_path):
+    """Only orthorhombic boxes are supported (utils/pbc.py); a gro file
+    with off-diagonal box vectors must raise, not silently truncate."""
+    p = tmp_path / "tri.gro"
+    p.write_text("tri\n 1\n    1MOL     C1    1   0.000   0.000   0.000\n"
+                 "   3.0   3.0   3.0   0.0   0.0   0.5   0.0   0.0   0.0\n")
+    with pytest.raises(ValueError, match="triclinic"):
+        GroFile(str(p))
