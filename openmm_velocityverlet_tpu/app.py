@@ -42,6 +42,7 @@ class Simulation:
 
     def step(self, n: int):
         remaining = n
+        fired = []
         while remaining > 0:
             next_stops = [r.describeNextReport(self) for r in self.reporters]
             chunk = min([remaining] + [s for s in next_stops if s > 0])
@@ -50,8 +51,19 @@ class Simulation:
             for r, stop in zip(self.reporters, next_stops):
                 if stop <= chunk:
                     r.report(self)
-        # drain background-IO reporters so everything written during this
-        # call is visible on disk when step() returns
+                    fired.append(r)
+        # drain background-IO reporters that actually wrote during this
+        # call, so their output is visible on disk when step() returns;
+        # calls that produced no report stay non-blocking (keeps the
+        # compute/IO overlap for chunked driver loops)
+        for r in fired:
+            flush = getattr(r, "flush", None)
+            if flush is not None:
+                flush()
+
+    def flush(self):
+        """Join all background-IO reporters (read-after-write barrier for
+        callers inspecting reporter output files mid-run)."""
         for r in self.reporters:
             flush = getattr(r, "flush", None)
             if flush is not None:

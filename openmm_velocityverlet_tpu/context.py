@@ -40,6 +40,25 @@ f32 = jnp.float32
 i32 = jnp.int32
 
 
+def enable_compilation_cache():
+    """Enable the persistent XLA compilation cache (idempotent).
+
+    The fused MD step is a single large program (~8 min cold compile for a
+    20k-atom system through a remote TPU); caching makes every rerun of an
+    unchanged binary start in seconds.  Called automatically at Context
+    construction — NOT at import, so merely importing the package never
+    mutates global JAX config for library consumers.  Opt out with
+    JAX_COMPILATION_CACHE_DIR="" in the environment, or opt in earlier by
+    calling this before your own jax.config setup.
+    """
+    import os
+    if ("JAX_COMPILATION_CACHE_DIR" not in os.environ
+            and jax.config.jax_compilation_cache_dir is None):
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/ommvv_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 @struct.dataclass
 class Carry:
     state: State
@@ -66,6 +85,7 @@ class Context:
                  ewald_chunk: int = 4096, sort_refresh: int = 120,
                  pair_ts: int = 0, fold_exc14: bool = False,
                  recip: str = "auto", **_legacy):
+        enable_compilation_cache()
         # sort_refresh: steps between spatial-sort cache rebuilds for the
         # tiled pair sweeps.  Staleness is SAFE at any interval — the
         # per-step coverage check runs against current positions and a trip
@@ -267,14 +287,24 @@ class Context:
             if rebuilt:
                 self._steps_since_cache = min(n, self.sort_refresh)
                 self._rebuilds += 1
-                if (self._rebuilds % 64 == 0
+                if (self._rebuilds % 8 == 0
                         and cache.overflow is not None
                         and bool(cache.overflow)):
-                    # safety valve (syncs, hence the 64-rebuild cadence):
-                    # sustained density growth overflowed the candidate
-                    # list and every step is falling back to the exact
-                    # full sweep — grow the capacity and recompile.
+                    # safety valve (syncs, hence the 8-rebuild cadence —
+                    # frequent enough that sustained overflow costs at
+                    # most ~8*sort_refresh exact-fallback steps before
+                    # the capacity grows): sustained density growth
+                    # overflowed the candidate list and every step is
+                    # falling back to the exact full sweep — grow the
+                    # capacity and recompile.
+                    import sys
+                    old_cap = ev.plist_cap
                     ev.plist_cap = int(ev.plist_cap * 1.5) + 64
+                    print(f"[vv-tpu] pair-list overflow safety valve: "
+                          f"plist_cap {old_cap} -> {ev.plist_cap}; "
+                          f"recompiling the step (expect a one-off "
+                          f"compile pause and a step-timing change)",
+                          file=sys.stderr)
                     self._compiled.clear()
                     self._pair_cache = None
             else:

@@ -40,9 +40,22 @@ from ..utils.pbc import minimum_image
 _SQRT_PI = 1.7724538509055159
 
 MAX_EXCL_OFFSET = 31
-# direct-space Coulomb force cap: 1/r^2 clamped at r = 0.045 nm (see
-# _pair_terms) — inside any physical contact distance, far outside f32 risk
-_COUL_F_CAP = (1.0 / 0.045) ** 2
+# Direct-space Coulomb force cap — THE single authority for the capped
+# region (the Pallas kernels in ops/pallas_pair.py import these).  The
+# bare-Coulomb 1/r^3 force/r factor is clamped at r = _COUL_CAP_R =
+# 0.045 nm, inside any physical contact distance and far outside f32 risk:
+# legitimate chemistry never probes there (excluded/Drude pairs take the
+# separate correction path, finite at r -> 0), but a zero-LJ hydrogen
+# captured by a foreign Drude dipole would otherwise overflow f32 and
+# poison the run with NaN instead of letting the thermostat recover.
+# Both the dense and Pallas paths cap the SAME term in the SAME form:
+#   f/r = qq * min(1/r^3, 1/_COUL_CAP_R^3) + [finite erfc-correction rest]
+# NOTE the energy is deliberately NOT capped: below _COUL_CAP_R the
+# reported energy and the applied force are inconsistent — the force
+# saturates so the integrator survives, while the energy keeps its true
+# value so reporters' NaN/blow-up checks still see the pathology.
+_COUL_CAP_R = 0.045
+_COUL_F_CAP3 = (1.0 / _COUL_CAP_R) ** 3
 
 
 def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
@@ -253,16 +266,13 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask,
                + t * (-1.453152027 + t * 1.061405429))))) * expm
     gauss = (2.0 * beta / _SQRT_PI) * expm
     e_coul = qq * erfc_br * inv_r
-    # the direct-space force is capped below r ~ 0.045 nm: legitimate
-    # chemistry never probes there (excluded/Drude pairs take the separate
-    # correction path, which is finite at r -> 0), but a zero-LJ hydrogen
-    # captured by a foreign Drude dipole otherwise overflows f32 and
-    # poisons the run with NaN instead of letting the thermostat recover
-    f_coul = qq * (erfc_br * inv_r + gauss) \
-        * jnp.minimum(inv_r2, _COUL_F_CAP)
     erf_inv_r = (1.0 - erfc_br) * inv_r
     e_corr = -qq * erf_inv_r
     f_corr = -qq * (erf_inv_r - gauss) * inv_r2
+    # capped bare-Coulomb 1/r^3 plus the finite erfc-correction remainder
+    # (== f_corr); see _COUL_CAP_R above for the cap contract shared with
+    # the Pallas paths
+    f_coul = qq * jnp.minimum(inv_r * inv_r2, _COUL_F_CAP3) + f_corr
     zero = jnp.zeros_like(e_lj)
     f_s = jnp.where(in_range, f_lj + f_coul, zero) \
         + jnp.where(corr_mask, f_corr, zero)

@@ -609,15 +609,17 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                        + t * 1.061405429))))) * expm
             gauss = (2.0 * beta / _SQRT_PI) * expm
             e_c = qq * erfc_br * inv_r
-            f_c = (e_c + qq * gauss) * jnp.minimum(inv_r2, 1.0 / 0.045 ** 2)
             erf_inv_r = (1.0 - erfc_br) * inv_r
             f_x = -qq * (erf_inv_r - gauss) * inv_r2
+            # same cap form as the poly path and the dense kernel: capped
+            # bare 1/r^3 + finite remainder (allpairs._COUL_CAP_R contract)
+            f_c = qq * jnp.minimum(inv_r * inv_r2, 1.0 / 0.045 ** 3) + f_x
         else:
             # poly force path: no exp, no div, no erfc (see _pfit /
             # _pfit_scaled — beta is folded into the coefficients); the
-            # bare-Coulomb part is capped below r ~ 0.045 nm so a zero-LJ
-            # hydrogen captured by a foreign Drude dipole saturates instead
-            # of overflowing f32 (excluded pairs take f_x, finite at r -> 0)
+            # bare-Coulomb 1/r^3 is capped per the shared cap contract
+            # documented at allpairs._COUL_CAP_R (excluded pairs take f_x,
+            # finite at r -> 0)
             pp = jnp.float32(pcoef[-1])
             for cof in pcoef[-2::-1]:
                 pp = pp * r2s + jnp.float32(cof)
@@ -1024,9 +1026,11 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
                        + t * 1.061405429))))) * expm
             gauss = (2.0 * beta / _SQRT_PI) * expm
             e_c = qq * erfc_br * inv_r
-            f_c = (e_c + qq * gauss) * jnp.minimum(inv_r2, 1.0 / 0.045 ** 2)
             erf_inv_r = (1.0 - erfc_br) * inv_r
             f_x = -qq * (erf_inv_r - gauss) * inv_r2
+            # same cap form as the poly path and the dense kernel: capped
+            # bare 1/r^3 + finite remainder (allpairs._COUL_CAP_R contract)
+            f_c = qq * jnp.minimum(inv_r * inv_r2, 1.0 / 0.045 ** 3) + f_x
         else:
             pp = jnp.float32(pcoef[-1])
             for cof in pcoef[-2::-1]:

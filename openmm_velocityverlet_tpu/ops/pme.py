@@ -86,10 +86,11 @@ def _euler_factors(K: int, order: int = 4):
 def _spread(pos, box, charges, grid):
     """B-spline charge spreading -> (Kx,Ky,Kz) grid.
 
-    Scatter-based reference implementation (64 updates per atom through one
-    flattened .at[].add).  Differentiable; used for validation and small
-    systems.  The binned-matmul fast path below (_spread_binned) is the
-    production route.
+    Scatter-based implementation (64 updates per atom through one
+    flattened .at[].add).  Differentiable; this is the path production
+    uses (forces.py calls reciprocal_energy_pme without bin_cap).  The
+    binned-matmul alternative below (_spread_binned) trades the scatter
+    for batched MXU matmuls and is selected via the bin_cap argument.
     """
     Kx, Ky, Kz = grid
     dims = jnp.asarray(grid)
@@ -138,7 +139,10 @@ def _spread_binned(pos, box, charges, grid, bins):
     """Scatter-free spreading: atoms binned by first-touched z-plane; plane
     k = sum_{d=0..3} Wx(bin k-d)^T diag(q wz_d) Wy(bin k-d) as 4 batched
     MXU matmuls.  ``bins`` = (Kz, M) atom-index table from
-    _plane_binned_tables (static shape)."""
+    _plane_binned_tables (static shape), which MUST be built from the same
+    ``pos`` passed here — the landing plane comes from the bin row, so a
+    stale table places charge on wrong planes.  reciprocal_energy_pme
+    derives it internally; do not cache it across steps."""
     Kx, Ky, Kz = grid
     dims = jnp.asarray(grid)
     u = pos / jnp.asarray(box) * dims
@@ -176,15 +180,25 @@ def _spread_binned(pos, box, charges, grid, bins):
     return jnp.transpose(planes, (1, 2, 0))               # (Kx,Ky,Kz)
 
 
-def reciprocal_energy_pme(pos, box, charges, beta, grid, bins=None):
+def reciprocal_energy_pme(pos, box, charges, beta, grid, bin_cap=None):
     """PME reciprocal energy (differentiable -> forces via jax.grad).
 
-    bins: optional (Kz, M) z-cell binning table (from _plane_binned_tables)
-    enabling the scatter-free spreading path.
+    bin_cap: optional static per-z-plane atom capacity enabling the
+    scatter-free binned spreading path.  The binning table is derived
+    from ``pos`` inside this call so it can never be stale relative to
+    the spread positions (a cached table would silently place charge on
+    wrong planes); if the capacity overflows, the call falls back to the
+    scatter path in-step, so the result is always exact.
     """
     Kx, Ky, Kz = grid
-    if bins is not None:
-        q_grid = _spread_binned(pos, box, charges, grid, bins)
+    if bin_cap is not None:
+        bins, overflow = _plane_binned_tables(
+            jax.lax.stop_gradient(pos[:, 2]), box[2], Kz, int(bin_cap))
+        q_grid = jax.lax.cond(
+            overflow,
+            lambda p: _spread(p, box, charges, grid),
+            lambda p: _spread_binned(p, box, charges, grid, bins),
+            pos)
     else:
         q_grid = _spread(pos, box, charges, grid)
     F = jnp.fft.fftn(q_grid.astype(jnp.complex64))

@@ -48,8 +48,12 @@ def test_pme_binned_spreading_matches_scatter():
     assert not bool(overflow)
     e_s = float(pme.reciprocal_energy_pme(pos, box, q, beta, grid))
     e_b = float(pme.reciprocal_energy_pme(pos, box, q, beta, grid,
-                                          bins=bins))
+                                          bin_cap=48))
     np.testing.assert_allclose(e_b, e_s, rtol=1e-5)
+    # capacity overflow falls back to the exact scatter path in-step
+    e_o = float(pme.reciprocal_energy_pme(pos, box, q, beta, grid,
+                                          bin_cap=2))
+    np.testing.assert_allclose(e_o, e_s, rtol=1e-6)
 
 
 def test_pme_forces_match_exact_sum():
@@ -87,12 +91,9 @@ def test_pme_matches_exact_on_bulk_im21():
     e_exact = float(ewald.reciprocal_energy(pos, box, q, s.ewald_beta,
                                             s.kmax))
     grid = pme.choose_grid(np.asarray(gro.box), 0.10)
-    bins, overflow = pme._plane_binned_tables(
-        pos[:, 2], box[2], grid[2],
-        m_cap=int(4 * s.n_atoms / grid[2] * 2))
-    assert not bool(overflow)
-    e_pme = float(pme.reciprocal_energy_pme(pos, box, q, s.ewald_beta, grid,
-                                            bins=bins))
+    e_pme = float(pme.reciprocal_energy_pme(
+        pos, box, q, s.ewald_beta, grid,
+        bin_cap=int(4 * s.n_atoms / grid[2] * 2)))
     assert abs(e_pme - e_exact) <= 1e-4 * abs(e_exact), (e_pme, e_exact)
 
 
