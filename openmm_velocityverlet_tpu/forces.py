@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops import (allpairs, bonded, drude, ewald, mol_terms, nonbonded,
-                  pallas_pair, pme, term_forces, vsites)
+from .ops import (allpairs, bonded, cmap, drude, ewald, mol_terms,
+                  nonbonded, pallas_pair, pme, term_forces, vsites)
 from .system import System
 
 
@@ -249,6 +249,13 @@ class ForceEvaluator:
                 terms["coul_recip"] = ewald.reciprocal_energy(
                     pos, box, s.charges, s.ewald_beta, s.kmax,
                     chunk=self.ewald_chunk)
+        if s.cmap_atoms.shape[0] > 0:
+            # CMAP cross-terms (oplspsffile.py:1134-1169, force group 3):
+            # term counts are tiny, so the jax.grad force path costs
+            # nothing measurable
+            terms["cmap"] = cmap.cmap_energy(
+                pos, box, s.cmap_atoms, s.cmap_map, s.cmap_coeffs,
+                s.cmap_res)
         if int(np.asarray(s.nbt_idx).max(initial=0)) > 0:
             # the reference truncates NBTHOLE at a hard-coded 0.5 nm
             # (oplspsffile.py:1407), not the system cutoff

@@ -66,6 +66,8 @@ class SystemBuilder:
         self.use_dispersion_correction = True
         self.remove_cm_motion = True
         self.extra_molecule_links: list = []  # e.g. run-edl fake bonds
+        self.cmap_terms: list = []     # (8-tuple atoms, map index)
+        self.cmap_grids: list = []     # (R,R) energy grids, kJ/mol
         self.lj_group: 'Optional[np.ndarray]' = None       # (N,) int
         self.lj_group_allowed: 'Optional[np.ndarray]' = None  # (G,G) bool
 
@@ -119,6 +121,21 @@ class SystemBuilder:
 
     def add_improper(self, a2, a3, a1, a4, k):
         self.impropers.append((a2, a3, a1, a4, k))
+
+    def add_cmap_map(self, grid_kj):
+        """Register a (R,R) CMAP energy grid (kJ/mol, phi/psi from -pi,
+        CHARMM layout); returns the map index for add_cmap_term."""
+        self.cmap_grids.append(np.asarray(grid_kj, np.float64))
+        return len(self.cmap_grids) - 1
+
+    def add_cmap_term(self, atoms8, map_index):
+        """One cross-term: atoms8[:4] = phi dihedral, atoms8[4:] = psi
+        (oplspsffile.py:1156-1168 — consecutive 5-atom terms pass
+        (a1,a2,a3,a4, a2,a3,a4,a5))."""
+        a = tuple(int(x) for x in atoms8)
+        if len(a) != 8:
+            raise ValueError("CMAP term needs 8 atom indices")
+        self.cmap_terms.append((a, int(map_index)))
 
     # -------------------------------------------------------- nonbonded
     def add_exclusion(self, i, j):
@@ -316,6 +333,9 @@ class SystemBuilder:
             tt_dipole_mask[d[0]] = True
             tt_dipole_mask[d[1]] = True
 
+        from ..ops.cmap import pack_cmap_maps
+        cmap_coeffs, cmap_res = pack_cmap_maps(self.cmap_grids)
+
         return System(
             masses=farr(masses), inv_masses=farr(inv_masses),
             charges=farr(charges), lj_type=np.asarray(lj_type, np.int32),
@@ -337,6 +357,10 @@ class SystemBuilder:
             dihedral_phase=farr([d[5] for d in self.dihedrals]),
             dihedral_k=farr([d[6] for d in self.dihedrals]),
             impropers=iarr(imps), improper_k=farr([p[4] for p in self.impropers]),
+            cmap_atoms=(np.asarray([t[0] for t in self.cmap_terms], np.int32)
+                        if self.cmap_terms else np.zeros((0, 8), np.int32)),
+            cmap_map=np.asarray([t[1] for t in self.cmap_terms], np.int32),
+            cmap_coeffs=cmap_coeffs, cmap_res=cmap_res,
             exclusions=np.asarray(excl, np.int32),
             exc_idx=np.asarray(exc_idx, np.int32), exc_qq=np.asarray(exc_qq, np.float32),
             exc_c6=np.asarray(exc_c6, np.float32), exc_c12=np.asarray(exc_c12, np.float32),

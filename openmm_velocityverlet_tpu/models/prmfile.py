@@ -47,6 +47,10 @@ class CharmmParameterSet:
         self.urey_bradley_types: Dict[tuple, Tuple[float, float]] = {}
         self.dihedral_types: Dict[tuple, List[Tuple[float, int, float]]] = {}
         self.improper_types: Dict[tuple, Tuple[float, float]] = {}
+        # canonical 8-type key -> (resolution, (R,R) grid in kcal/mol,
+        # phi rows / psi columns, both starting at -180 deg)
+        self.cmap_types: Dict[tuple, tuple] = {}
+        self._cmap_cur = None
         for fn in filenames:
             self._read(fn)
 
@@ -59,6 +63,7 @@ class CharmmParameterSet:
                     continue
                 word0 = line.split()[0].upper()
                 if word0 in _SECTION_NAMES:
+                    self._finish_cmap()
                     section = "IMPROPERS" if word0 == "IMPROPER" else word0
                     if section == "END":
                         section = None
@@ -111,6 +116,46 @@ class CharmmParameterSet:
                     a = float(w[2])
                     self._get_type(w[0]).nbthole[w[1]] = a
                     self._get_type(w[1]).nbthole[w[0]] = a
+                elif section == "CMAP":
+                    # header = 8 type names + grid resolution; anything
+                    # numeric is grid data for the current entry
+                    try:
+                        vals = [float(x) for x in w]
+                    except ValueError:
+                        if len(w) != 9:
+                            raise ValueError(
+                                f"CMAP header needs 8 types + resolution, "
+                                f"got {line!r}")
+                        self._finish_cmap()
+                        self._cmap_cur = (tuple(t.upper() for t in w[:8]),
+                                          int(w[8]), [])
+                    else:
+                        if self._cmap_cur is None:
+                            raise ValueError(
+                                "CMAP grid data before any CMAP header")
+                        self._cmap_cur[2].extend(vals)
+        self._finish_cmap()
+
+    def _finish_cmap(self):
+        if self._cmap_cur is None:
+            return
+        types, res, vals = self._cmap_cur
+        self._cmap_cur = None
+        if len(vals) != res * res:
+            raise ValueError(
+                f"CMAP {types}: expected {res * res} grid values, "
+                f"got {len(vals)}")
+        import numpy as np
+        grid = np.asarray(vals, np.float64).reshape(res, res)
+        self.cmap_types[self._cmap_key(*types)] = (res, grid)
+
+    @staticmethod
+    def _cmap_key(t1, t2, t3, t4, t5, t6, t7, t8):
+        """Per-dihedral canonicalization, no wildcards
+        (oplspsffile.py:703-706)."""
+        k1 = min((t1, t2, t3, t4), (t4, t3, t2, t1))
+        k2 = min((t5, t6, t7, t8), (t8, t7, t6, t5))
+        return k1 + k2
 
     def _get_type(self, name) -> AtomType:
         if name not in self.atom_types:
@@ -131,6 +176,14 @@ class CharmmParameterSet:
         if key not in self.dihedral_types:
             key = min(("X", t2, t3, "X"), ("X", t3, t2, "X"))
         return self.dihedral_types[key]
+
+    def cmap(self, *types8):
+        """(resolution, (R,R) kcal/mol grid) for an 8-type cross-term;
+        no wildcard fallback (oplspsffile.py:692-710)."""
+        key = self._cmap_key(*(t.upper() for t in types8))
+        if key not in self.cmap_types:
+            raise KeyError(f"no CMAP parameters for {types8}")
+        return self.cmap_types[key]
 
     def improper(self, t1, t2, t3, t4):
         key = min((t1, t2, t3, t4), (t4, t3, t2, t1))

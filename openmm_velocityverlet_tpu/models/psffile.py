@@ -120,14 +120,19 @@ class OplsPsfFile:
         self.dihedrals = quads("NPHI", 4)
         self.impropers = quads("NIMPHI", 4)
 
-        # CMAP cross-terms (oplspsffile.py:430-465, force group 3): no
-        # bundled workload carries any (SURVEY §7.5); fail loudly rather
-        # than silently dropping energy terms
+        # CMAP cross-terms (oplspsffile.py:430-451): 8 atom indices per
+        # term = two dihedrals (phi = [:4], psi = [4:])
+        self.cmaps = []
         if "NCRTERM" in sections and sections["NCRTERM"][0] \
                 and int(sections["NCRTERM"][0][0]) > 0:
-            raise NotImplementedError(
-                "PSF declares CMAP cross-terms (NCRTERM > 0); CMAP "
-                "torsions are not implemented in this engine")
+            ncrterm = int(sections["NCRTERM"][0][0])
+            flat = [int(x) for line in sections["NCRTERM"][1]
+                    for x in line.split()]
+            if len(flat) != ncrterm * 8:
+                raise ValueError(
+                    f"Got {len(flat)} CMAP indexes for {ncrterm} terms")
+            self.cmaps = [tuple(flat[8 * m + t] - 1 for t in range(8))
+                          for m in range(ncrterm)]
 
         # lone pairs (NUMLP NUMLPH), oplspsffile.py:384-411
         self.lonepairs = []
@@ -288,6 +293,17 @@ class OplsPsfFile:
             kpsi, _ = params.improper(top.atom_types[i], top.atom_types[j],
                                       top.atom_types[k3], top.atom_types[l])
             b.add_improper(j, k3, i, l, kpsi * _ENE)
+
+        # CMAP cross-terms (oplspsffile.py:692-710 matching, :1134-1169
+        # force construction): dedupe identical grids into shared maps
+        cmap_map_idx = {}
+        for atoms8 in self.cmaps:
+            types8 = tuple(top.atom_types[a] for a in atoms8)
+            res, grid = params.cmap(*types8)
+            key = params._cmap_key(*(t.upper() for t in types8))
+            if key not in cmap_map_idx:
+                cmap_map_idx[key] = b.add_cmap_map(grid * _ENE)
+            b.add_cmap_term(atoms8, cmap_map_idx[key])
 
         # ---- LJ types (one per distinct attype) ----
         typenames = sorted(set(top.atom_types))

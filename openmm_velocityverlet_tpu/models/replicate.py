@@ -67,8 +67,9 @@ def replicate(system: System, positions, box, factors=(1, 1, 2),
     for f in ("bonds", "angles", "ub_bonds", "dihedrals", "impropers",
               "exclusions", "exc_idx", "constraints", "vsite_index",
               "vsite_parents", "drude_pairs", "drude_aniso", "thole_sites",
-              "tt_donors", "mol_table"):
+              "tt_donors", "mol_table", "cmap_atoms"):
         d[f] = tile_idx(getattr(system, f))
+    d["cmap_map"] = tile(system.cmap_map)           # map ids are shared
     # molecule ids offset by the molecule count per copy
     pm = np.asarray(system.particle_mol_id)
     d["particle_mol_id"] = np.concatenate(
@@ -78,7 +79,7 @@ def replicate(system: System, positions, box, factors=(1, 1, 2),
     d["disp_coef_b"] = np.float32(float(system.disp_coef_b) * k * k)
     # shared tables / scalars unchanged
     for f in ("acoef", "bcoef", "lj_group_allowed", "nbt_coef",
-              "tt_b", "tt_cutoff"):
+              "tt_b", "tt_cutoff", "cmap_coeffs", "cmap_res"):
         d[f] = getattr(system, f)
     statics = dict(
         r_cutoff=system.r_cutoff,

@@ -129,6 +129,14 @@ class System:
     # constant-index gather + dense sum instead of a segment_sum scatter
     mol_table: jnp.ndarray       # (M, Mmax) i32
 
+    # ---- CMAP torsion cross-terms (oplspsffile.py:430-465, 1134-1169) ----
+    # two dihedrals per term (atoms [:4] = phi, [4:] = psi); maps stored as
+    # per-cell bicubic monomial coefficients (ops/cmap.py)
+    cmap_atoms: jnp.ndarray      # (TC,8) i32
+    cmap_map: jnp.ndarray        # (TC,) i32 map index per term
+    cmap_coeffs: jnp.ndarray     # (M,Rmax,Rmax,4,4) f32
+    cmap_res: jnp.ndarray        # (M,) i32 true grid resolution per map
+
     # ---- nonbonded method parameters ----
     r_cutoff: float = struct.field(pytree_node=False, default=1.2)
     ewald_beta: float = struct.field(pytree_node=False, default=0.0)  # 0 => plain cutoff

@@ -96,17 +96,18 @@ def test_create_system_bookkeeping():
                                ONE_4PI_EPS0 * q * q / alpha, rtol=1e-4)
 
 
-def test_psf_cmap_terms_raise(tmp_path):
-    """CMAP cross-terms (oplspsffile.py:430-465) are unimplemented; the
-    parser must fail loudly instead of silently dropping energy terms."""
+def test_psf_cmap_terms_parse(tmp_path):
+    """CMAP cross-terms (oplspsffile.py:430-465): NCRTERM parses into
+    8-index tuples (0-based), two dihedrals per term."""
     text = open(MODEL + "topol.psf").read()
     text += "\n       2 !NCRTERM: cross-terms\n" \
             "       1       2       3       4       3       4       5       6\n" \
             "       5       6       7       8       7       8       9      10\n"
     p = tmp_path / "cmap.psf"
     p.write_text(text)
-    with pytest.raises(NotImplementedError, match="CMAP"):
-        OplsPsfFile(str(p))
+    psf = OplsPsfFile(str(p))
+    assert psf.cmaps == [(0, 1, 2, 3, 2, 3, 4, 5),
+                         (4, 5, 6, 7, 6, 7, 8, 9)]
 
 
 def test_grofile_triclinic_raises(tmp_path):
