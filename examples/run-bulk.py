@@ -40,10 +40,15 @@ parser.add_argument("--drude-friction", type=float, default=20.0,
                     help="Drude Langevin friction (1/ps); the reference "
                     "default is 20. 100 suppresses the kinetic T_Drude "
                     "discretization elevation at dt >= 1 fs")
+parser.add_argument("--mesh", type=int, default=0,
+                    help="shard the step over the first N devices "
+                    "(jax.sharding.Mesh over the atom axis); 0 = single "
+                    "device")
 
 
 def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=300, P=1,
-                   tcoupl="langevin", pcoupl="iso", cos=0, restart=None):
+                   tcoupl="langevin", pcoupl="iso", cos=0, restart=None,
+                   mesh_devices=0):
     print("Building system...")
     gro = GroFile(gro_file)
     psf = OplsPsfFile(psf_file,
@@ -106,8 +111,16 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=300, P=1,
     if cos != 0:
         integrator.setCosAcceleration(cos)
 
+    mesh = None
+    if mesh_devices:
+        import jax
+
+        from openmm_velocityverlet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.devices()[:mesh_devices])
+        print(f"Sharding over {mesh_devices} devices "
+              f"({mesh.devices[0].platform})")
     ctx = Context(built.system, integrator, positions=gro.positions,
-                  box=gro.box, barostat=barostat)
+                  box=gro.box, barostat=barostat, mesh=mesh)
     sim = Simulation(built.topology, ctx)
     if restart:
         load_checkpoint(ctx, restart)
@@ -137,7 +150,7 @@ if __name__ == "__main__":
                          prm_file=args.prm, dt=args.dt, T=args.temp,
                          P=args.press, tcoupl=args.thermostat,
                          pcoupl=args.barostat, cos=args.cos,
-                         restart=args.cpt)
+                         restart=args.cpt, mesh_devices=args.mesh)
     print("Running...")
     for g, e in sim.context.group_energies().items():
         print(f"E_{g}: {e:.4f} kJ/mol")

@@ -84,8 +84,30 @@ class Context:
                  positions=None, box=None, row_block: int = 1024,
                  ewald_chunk: int = 4096, sort_refresh: int = 120,
                  pair_ts: int = 0, fold_exc14: bool = False,
-                 recip: str = "auto", **_legacy):
+                 recip: str = "auto", mesh=None, mesh_axis: str = "atoms",
+                 **_legacy):
+        # mesh: optional jax.sharding.Mesh — shards the step over the atom
+        # axis (big per-atom carry arrays sharded, NH chains/scalars
+        # replicated, pair-sweep row tiles per device with the column
+        # reaction psum'd over ICI).  The public multi-chip path: every
+        # Context API (step, reporters, checkpoints) works unchanged.
         enable_compilation_cache()
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.n_real = system.n_atoms
+        if mesh is not None:
+            n_dev = int(np.asarray(mesh.devices).size)
+            n_pad = ((system.n_atoms + n_dev - 1) // n_dev) * n_dev
+            if n_pad != system.n_atoms:
+                # sharding requires the atom axis divisible by the mesh
+                # size; pad with inert ghosts and hide them from the
+                # public position/velocity surface (self.n_real)
+                from .system import pad_system
+                system = pad_system(system, n_pad)
+                if positions is not None:
+                    positions = np.concatenate(
+                        [np.asarray(positions, np.float32),
+                         np.zeros((n_pad - self.n_real, 3), np.float32)])
         # sort_refresh: steps between spatial-sort cache rebuilds for the
         # tiled pair sweeps.  Staleness is SAFE at any interval — the
         # per-step coverage check runs against current positions and a trip
@@ -104,7 +126,8 @@ class Context:
         self.evaluator = ForceEvaluator(
             system, external_forces, ewald_chunk=ewald_chunk,
             row_block=row_block, pair_ts=pair_ts, fold_exc14=fold_exc14,
-            recip=recip, box_hint=box, pos_hint=positions)
+            recip=recip, box_hint=box, pos_hint=positions,
+            mesh=mesh, mesh_axis=mesh_axis)
 
         n = system.n_atoms
         self.cons = cons_mod.build_constraint_data(
@@ -163,21 +186,35 @@ class Context:
         vol = float(st.box[0] * st.box[1] * st.box[2])
         baro = baro_mod.make_barostat_state(vol)
         n = self.system.n_atoms
-        return Carry(state=st, baro=baro,
-                     forces=jnp.zeros((n, 3), f32),
-                     forces_extra=jnp.zeros((n, 3), f32),
-                     forces_valid=jnp.zeros((), bool),
-                     cov_bad=jnp.zeros((), bool))
+        carry = Carry(state=st, baro=baro,
+                      forces=jnp.zeros((n, 3), f32),
+                      forces_extra=jnp.zeros((n, 3), f32),
+                      forces_valid=jnp.zeros((), bool),
+                      cov_bad=jnp.zeros((), bool))
+        if self.mesh is not None:
+            from .parallel.mesh import shard_carry
+            carry = shard_carry(carry, self.mesh, self.mesh_axis,
+                                n_atoms=n)
+        return carry
 
     # --------------------------------------------------------- public API
+    def _pad_atoms(self, arr):
+        """Extend an (n_real, ...) user array over the mesh-padding ghosts."""
+        arr = jnp.asarray(arr, f32)
+        extra = self.system.n_atoms - arr.shape[0]
+        if extra > 0:
+            arr = jnp.concatenate(
+                [arr, jnp.zeros((extra,) + arr.shape[1:], f32)])
+        return arr
+
     def set_positions(self, positions):
-        pos = jnp.asarray(positions, f32)
+        pos = self._pad_atoms(positions)
         pos = self.evaluator.place_vsites(pos)
         self.state = self.state.replace(pos=pos, pos_err=jnp.zeros_like(pos))
         self._carry = None
 
     def set_velocities(self, velocities):
-        self.state = self.state.replace(vel=jnp.asarray(velocities, f32))
+        self.state = self.state.replace(vel=self._pad_atoms(velocities))
         if self._carry is not None:
             self._carry = self._carry.replace(
                 state=self.state, forces_valid=jnp.zeros((), bool))
@@ -193,14 +230,15 @@ class Context:
     def get_positions(self):
         """Positions with virtual sites re-placed in their parent frames
         (OpenMM computeVirtualSites semantics: the step only integrates
-        massive particles; sites are a function of their parents)."""
+        massive particles; sites are a function of their parents).
+        Mesh-padding ghosts are excluded."""
         if self.system.vsite_index.shape[0] == 0:
-            return np.asarray(self.state.pos)
+            return np.asarray(self.state.pos)[:self.n_real]
         fn = self._get_compiled("place_vsites")
-        return np.asarray(fn(self.state.pos))
+        return np.asarray(fn(self.state.pos))[:self.n_real]
 
     def get_velocities(self):
-        return np.asarray(self.state.vel)
+        return np.asarray(self.state.vel)[:self.n_real]
 
     def get_box(self):
         return np.asarray(self.state.box)
@@ -328,14 +366,19 @@ class Context:
                 return f
             fn = jax.jit(forces)
         elif name == "pair_cache":
-            fn = jax.jit(self.evaluator.make_pair_cache)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                repl = NamedSharding(self.mesh, PartitionSpec())
+                fn = jax.jit(self.evaluator.make_pair_cache,
+                             out_shardings=repl)
+            else:
+                fn = jax.jit(self.evaluator.make_pair_cache)
         elif name == "step_n":
             single = self._build_step_fn()
             ev = self.evaluator
             uses_band = ev.uses_band
             refresh = self.sort_refresh
 
-            @jax.jit
             def step_n(carry, cache, n, rebuild_first):
                 """One device program for n steps: an outer loop over
                 cache segments rebuilds the spatial-sort cache at segment
@@ -380,7 +423,21 @@ class Context:
                     outer_cond, outer_body,
                     (carry, cache, jnp.zeros((), i32), jnp.ones((), bool)))
                 return carry, cache
-            fn = step_n
+            if self.mesh is not None:
+                # explicit shardings: atom-axis arrays of the carry
+                # sharded, cache/scalars replicated; XLA propagates the
+                # layout through the fused step and inserts the psum /
+                # all-gather collectives over ICI
+                from jax.sharding import NamedSharding, PartitionSpec
+                from .parallel.mesh import carry_shardings
+                repl = NamedSharding(self.mesh, PartitionSpec())
+                cs = carry_shardings(self._make_carry(), self.mesh,
+                                     self.mesh_axis,
+                                     n_atoms=self.system.n_atoms)
+                fn = jax.jit(step_n, in_shardings=(cs, repl, repl, repl),
+                             out_shardings=(cs, repl))
+            else:
+                fn = jax.jit(step_n)
         else:
             raise KeyError(name)
         self._compiled[name] = fn

@@ -40,11 +40,19 @@ class ForceEvaluator:
                  ewald_chunk: int = 16384, row_block: int = 1024,
                  pair_kernel: str = "auto",
                  box_hint=None, pos_hint=None, pair_ts: int = 0,
-                 fold_exc14: bool = False, recip: str = "auto", **_legacy):
+                 fold_exc14: bool = False, recip: str = "auto",
+                 mesh=None, mesh_axis: str = "atoms",
+                 pallas_interpret: bool = False, **_legacy):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
         self.row_block = row_block
+        # multi-chip: a jax.sharding.Mesh shards the pair sweep's row tiles
+        # and the per-atom arrays over the atom axis (parallel/mesh.py)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.pallas_interpret = pallas_interpret
+        self._mesh_size = int(mesh.devices.size) if mesh is not None else 1
         if pair_kernel == "auto":
             # the Pallas kernel needs a real TPU; CPU tests use the jnp path
             pair_kernel = ("pallas" if jax.default_backend() != "cpu"
@@ -57,7 +65,8 @@ class ForceEvaluator:
         # row-sharded multi-chip path
         self.pair_mode = "dense"
         if self.pair_kernel == "pallas":
-            self.pair_mode = "band" if fold_exc14 else "plist"
+            self.pair_mode = "band" if (fold_exc14 or self._mesh_size > 1) \
+                else "plist"
         self.skin = 0.1
         # band_atoms: atoms inside any (cutoff + sort-staleness skin)
         # z-window, from the MAX z-local density of the initial
@@ -288,7 +297,32 @@ class ForceEvaluator:
         pos = self.place_vsites(pos_raw)
         cov_bad = jnp.zeros((), bool)
 
-        if self.pair_kernel == "pallas":
+        if self.pair_kernel == "pallas" and self._mesh_size > 1:
+            # row-sharded multi-chip sweep (tiles sharded over the mesh's
+            # atom axis, column reaction psum'd over ICI).  No in-step
+            # full-sweep fallback here: a coverage trip means ONE step ran
+            # with a band-stale pair list (the classical Verlet-skin miss,
+            # ~never at the 0.1 nm skin and default refresh) and the flag
+            # still forces an immediate rebuild for the next step.
+            charges_j = jnp.asarray(s.charges)
+            if pair_cache is None:
+                pair_cache = pallas_pair.make_pair_cache(
+                    pos, box, charges_j, self.pair_tables, self.pair_ts)
+            e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
+                pallas_pair.banded_sweep_sharded(
+                    self.mesh, self.mesh_axis, pos, box, charges_j,
+                    self.pair_tables, s.ewald_beta, s.r_cutoff,
+                    self.pair_ts, self.band_w, cache=pair_cache,
+                    want_energy=want_energy,
+                    interpret=self.pallas_interpret)
+            e_lj, e_coul_dir, e_corr, f_direct = \
+                pallas_pair.residual_adjustment(
+                    pos, box, charges_j, self.pair_tables, s.ewald_beta,
+                    s.r_cutoff, e_lj, e_coul_dir, e_corr, f_direct)
+            cov_bad = pallas_pair.band_coverage_bad(
+                pos, box, pair_cache, self.pair_ts, self.band_w,
+                s.r_cutoff)
+        elif self.pair_kernel == "pallas":
             e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct, cov_bad = \
                 pallas_pair.direct_space_pallas(
                     pos, box, jnp.asarray(s.charges), self.pair_tables,

@@ -274,7 +274,11 @@ class VVIntegrator:
             if nh_mask[a]:
                 tg_dof[TG_ATOM] -= 1
         if use_com:
-            tg_dof[TG_COM] = 3 * len(nh_mols)
+            # only molecules with mass carry COM momentum (an all-massless
+            # molecule — a mesh-padding ghost — has no COM velocity; the
+            # reference never encounters the case, its massless particles
+            # are always images or vsites inside massive molecules)
+            tg_dof[TG_COM] = 3 * sum(1 for m in nh_mols if mol_mass[m] > 0)
         if system.has_cm_motion_remover:
             if use_com:
                 tg_dof[TG_COM] -= 3

@@ -1196,6 +1196,46 @@ def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
     return fout
 
 
+def residual_adjustment(pos, box, charges, tables, beta, r_cutoff,
+                        e_lj, e_coul, e_corr, forces):
+    """Exclusion pairs whose index offset exceeds the kernels' 31-bit
+    window, handled exactly as in allpairs (tiny list): subtract their
+    direct-space contribution, add the reciprocal correction.  Shared by
+    direct_space_pallas and the row-sharded multi-chip sweep."""
+    res = tables["residual"]
+    if res.shape[0] == 0:
+        return e_lj, e_coul, e_corr, forces
+    from . import allpairs as ap
+    from ..utils.pbc import minimum_image
+    i, j = res[:, 0], res[:, 1]
+    arows = jnp.asarray(tables["arows"])
+    brows = jnp.asarray(tables["brows"])
+    onehot = jnp.asarray(tables["onehot"])
+    dr = minimum_image(pos[i] - pos[j], box)
+    r2 = jnp.sum(dr * dr, -1)
+    a = jnp.sum(arows[i] * onehot[j], -1)
+    b = jnp.sum(brows[i] * onehot[j], -1)
+    if tables["grows"] is not None:
+        allowed = jnp.sum(jnp.asarray(tables["grows"])[i]
+                          * jnp.asarray(tables["gonehot"])[j], -1)
+        a = a * allowed
+        b = b * allowed
+    qq = ONE_4PI_EPS0 * charges[i] * charges[j]
+    ones = jnp.ones(r2.shape, bool)
+    _, _, e_corr_r, _, _, f_corr_only = ap._pair_terms(
+        r2, qq, a, b, beta, r_cutoff,
+        direct_mask=jnp.zeros_like(ones), corr_mask=ones)
+    e_lj_d, e_coul_d, _, _, _, f_direct_only = ap._pair_terms(
+        r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
+        corr_mask=jnp.zeros_like(ones))
+    e_lj = e_lj - jnp.sum(e_lj_d)
+    e_coul = e_coul - jnp.sum(e_coul_d)
+    e_corr = e_corr + jnp.sum(e_corr_r)
+    f_adj = (f_corr_only - f_direct_only)[:, None] * dr
+    forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
+    return e_lj, e_coul, e_corr, forces
+
+
 def banded_sweep_sharded(mesh, axis_name, pos, box, charges, tables,
                          beta, r_cutoff, ts, band_w,
                          cache: "PairCache | None" = None,
@@ -1423,36 +1463,9 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         e14_coul = e14_lj = jnp.zeros((), jnp.float32)
 
     # residual excluded pairs handled exactly as in allpairs (tiny list)
-    res = tables["residual"]
-    if res.shape[0] > 0:
-        from . import allpairs as ap
-        from ..utils.pbc import minimum_image
-        i, j = res[:, 0], res[:, 1]
-        arows = jnp.asarray(tables["arows"])
-        brows = jnp.asarray(tables["brows"])
-        onehot = jnp.asarray(tables["onehot"])
-        dr = minimum_image(pos[i] - pos[j], box)
-        r2 = jnp.sum(dr * dr, -1)
-        a = jnp.sum(arows[i] * onehot[j], -1)
-        b = jnp.sum(brows[i] * onehot[j], -1)
-        if tables["grows"] is not None:
-            allowed = jnp.sum(jnp.asarray(tables["grows"])[i]
-                              * jnp.asarray(tables["gonehot"])[j], -1)
-            a = a * allowed
-            b = b * allowed
-        qq = ONE_4PI_EPS0 * charges[i] * charges[j]
-        ones = jnp.ones(r2.shape, bool)
-        _, _, e_corr_r, _, _, f_corr_only = ap._pair_terms(
-            r2, qq, a, b, beta, r_cutoff,
-            direct_mask=jnp.zeros_like(ones), corr_mask=ones)
-        e_lj_d, e_coul_d, _, _, _, f_direct_only = ap._pair_terms(
-            r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
-            corr_mask=jnp.zeros_like(ones))
-        e_lj = e_lj - jnp.sum(e_lj_d)
-        e_coul = e_coul - jnp.sum(e_coul_d)
-        e_corr = e_corr + jnp.sum(e_corr_r)
-        f_adj = (f_corr_only - f_direct_only)[:, None] * dr
-        forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
+    e_lj, e_coul, e_corr, forces = residual_adjustment(
+        pos, box, charges, tables, beta, r_cutoff,
+        e_lj, e_coul, e_corr, forces)
     if with_flag:
         # device bool: this call took the full-sweep fallback; the caller
         # should rebuild its sort cache before the next step

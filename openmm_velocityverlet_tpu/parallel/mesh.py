@@ -26,15 +26,17 @@ def carry_shardings(carry, mesh: Mesh, axis_name: str = "atoms",
     their leading axis sharded, everything else (NH chains, box, RNG key,
     scalars) is replicated.
 
-    If ``n_atoms`` is given only leaves whose leading dim equals it are
-    sharded; otherwise any leading dim that is a strict multiple of the mesh
-    size qualifies (the Context pads capacities to multiples of 8)."""
+    If ``n_atoms`` is given, leaves whose leading dim equals it are sharded
+    (GSPMD handles non-divisible axes by padding the last shard, so real
+    atom counts need not be multiples of the mesh size); otherwise any
+    leading dim that is a strict multiple of the mesh size qualifies."""
     n_dev = mesh.devices.size
 
     def spec(x):
         x = jnp.asarray(x)
-        if x.ndim >= 1 and x.shape[0] > n_dev and x.shape[0] % n_dev == 0 \
-                and (n_atoms is None or x.shape[0] == n_atoms):
+        if x.ndim >= 1 and x.shape[0] > n_dev and (
+                x.shape[0] == n_atoms if n_atoms is not None
+                else x.shape[0] % n_dev == 0):
             return NamedSharding(mesh, P(axis_name))
         return NamedSharding(mesh, P())
 

@@ -210,6 +210,62 @@ def make_state(positions, box, velocities=None, n_temp_groups: int = 3,
     )
 
 
+def pad_system(system: System, n_pad: int) -> System:
+    """Append ``n_pad - n_atoms`` ghost particles: massless, chargeless,
+    zero-LJ, excluded from every term table — physically inert (the same
+    species as the EDL image particles minus the mirror sync).
+
+    Multi-chip sharding requires the atom axis to be divisible by the mesh
+    size (NamedSharding rejects uneven dims); Context(mesh=...) pads the
+    system up to the next multiple and hides the ghosts from the public
+    position/velocity surface.
+    """
+    import numpy as np
+    n = system.n_atoms
+    extra = int(n_pad) - n
+    if extra <= 0:
+        return system
+    d = {f.name: getattr(system, f.name)
+         for f in system.__dataclass_fields__.values()}
+
+    def app(name, fill, dtype=None):
+        a = np.asarray(d[name])
+        pad = np.full((extra,) + a.shape[1:], fill,
+                      dtype if dtype is not None else a.dtype)
+        d[name] = np.concatenate([a, pad], axis=0)
+
+    # ghosts use a dedicated zero-LJ type (a = b = 0 row/col)
+    T = np.asarray(d["acoef"]).shape[0]
+    for name in ("acoef", "bcoef"):
+        a = np.asarray(d[name])
+        a = np.pad(a, ((0, 1), (0, 1)))
+        d[name] = a.astype(np.float32)
+    app("lj_type", T)
+    for name in ("masses", "inv_masses", "charges", "nbt_alpha",
+                 "tt_charges"):
+        app(name, 0.0)
+    app("lj_group", 0)
+    app("nbt_idx", 0)
+    app("tt_dipole_mask", False)
+    app("exclusions", -1)
+    app("exc_idx", -1)
+    for name in ("exc_qq", "exc_c6", "exc_c12"):
+        app(name, 0.0)
+    # each ghost is its own massless molecule (no COM DOF, empty member
+    # row in the dense COM tables — the image-particle precedent)
+    m = np.asarray(d["mol_masses"]).shape[0]
+    d["particle_mol_id"] = np.concatenate(
+        [np.asarray(d["particle_mol_id"]),
+         m + np.arange(extra, dtype=np.int32)])
+    for name in ("mol_masses", "mol_inv_masses"):
+        a = np.asarray(d[name])
+        d[name] = np.concatenate([a, np.zeros(extra, a.dtype)])
+    mt = np.asarray(d["mol_table"])
+    d["mol_table"] = np.concatenate(
+        [mt, np.full((extra, mt.shape[1]), -1, mt.dtype)], axis=0)
+    return System(**d)
+
+
 def set_velocities_to_temperature(system: System, state: State, temperature: float,
                                   seed: int = 12345) -> State:
     """Draw Maxwell-Boltzmann velocities (massless particles get zero).

@@ -148,3 +148,54 @@ def test_carry_shardings_layout(drude_ctx):
     assert tuple(sh.state.nh_eta.spec) == ()
     assert tuple(sh.state.box.spec) == ()
     assert tuple(sh.state.rng_key.spec) == ()
+
+
+def test_context_mesh_public_api_matches_single_device():
+    """VERDICT r3 item 7 (productize multi-chip): Context(mesh=...) +
+    ctx.step() — the public API, no hand-wired sharding — must keep the
+    atom axis sharded through the step and agree with the unsharded
+    Context trajectory."""
+    import __graft_entry__ as ge
+
+    ref = ge._drude_system(n_mol=16)
+    ref.step(3)
+    ref_pos = np.asarray(ref._carry.state.pos)
+
+    mesh = make_mesh(jax.devices()[:8])
+    ctx = ge._drude_system(n_mol=16, mesh=mesh)
+    ctx.step(3)
+    pos = ctx._carry.state.pos
+    assert tuple(pos.sharding.spec)[:1] == ("atoms",), pos.sharding
+    np.testing.assert_allclose(np.asarray(pos), ref_pos, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx._carry.state.nh_eta),
+                               np.asarray(ref._carry.state.nh_eta),
+                               atol=1e-5)
+    # reporters read through the same public surface
+    ke = ctx.kinetic_energy()
+    assert np.isfinite(ke)
+
+
+def test_run_bulk_mesh_flag_smoke(tmp_path, monkeypatch):
+    """run-bulk --mesh N drives Context(mesh=...) through the workload
+    script (CPU mesh; bulk_Im21 load + a single chunked step)."""
+    import importlib.util
+    models = "/root/reference/examples/models/bulk_Im21"
+    if not os.path.isdir(models):
+        pytest.skip("reference data absent")
+    spec = importlib.util.spec_from_file_location(
+        "runbulk", os.path.join(os.path.dirname(__file__), "..",
+                                "examples", "run-bulk.py"))
+    runbulk = importlib.util.module_from_spec(spec)
+    argv = sys.argv
+    sys.argv = ["run-bulk.py"]
+    spec.loader.exec_module(runbulk)
+    sys.argv = argv
+    monkeypatch.chdir(tmp_path)
+    sim = runbulk.gen_simulation(
+        os.path.join(models, "conf.gro"), os.path.join(models, "topol.psf"),
+        os.path.join(models, "ff.prm"), dt=0.0005, T=333,
+        tcoupl="nose-hoover", pcoupl="no", mesh_devices=8)
+    sim.context.step(2)
+    pos = sim.context._carry.state.pos
+    assert tuple(pos.sharding.spec)[:1] == ("atoms",), pos.sharding
+    assert bool(jnp.isfinite(pos).all())
