@@ -275,6 +275,323 @@ def golden_energies(system, pos, box):
     return out
 
 
+# ====== independent parameter-assignment cross-check (VERDICT r3 #6) ======
+# The oracle above re-derives every FORMULA, but it consumes the engine's
+# parameter TABLES — a wrong-parameter bug (wildcard matching, unit factor,
+# NBFIX selection) would cancel between the two sides.  The functions below
+# close that hole: they parse the PSF/PRM TEXT with their own tiny parsers
+# and re-derive the per-term parameters from the reference's documented
+# assignment semantics (oplspsffile.py:628-692 lookups, :1296-1326 LJ
+# tables, :1408-1427 1-4 exceptions, :1478-1517 Drude/Thole), then assert
+# the built System's tables match.  Out of scope (documented): the
+# exclusion-EXPANSION set itself (shared semantics would cancel anyway) —
+# gross exclusion errors surface through NVE/thermostat physics tests.
+
+def _psf_text(path):
+    import re as _re
+    sections, cur = {}, None
+    for line in open(path):
+        m = _re.match(r"\s*(\d+)\s*!(\w[\w ]*)", line)
+        if m:
+            cur = m.group(2).strip().split(":")[0]
+            sections[cur] = (int(m.group(1)), [])
+            continue
+        if cur and line.strip():
+            sections[cur][1].append(line)
+    natom = sections["NATOM"][0]
+    atoms = []     # (name, type, charge, mass, alpha, thole)
+    for ln in sections["NATOM"][1][:natom]:
+        w = ln.split()
+        atoms.append((w[4], w[5], float(w[6]), float(w[7]),
+                      float(w[9]) if len(w) > 9 else 0.0,
+                      float(w[10]) if len(w) > 10 else 0.0))
+
+    def ids(name, width):
+        flat = [int(x) - 1 for ln in sections.get(name, (0, []))[1]
+                for x in ln.split()]
+        return [tuple(flat[width * k + t] for t in range(width))
+                for k in range(len(flat) // width)]
+
+    return atoms, {k: ids(k, w) for k, w in
+                   (("NBOND", 2), ("NTHETA", 3), ("NPHI", 4),
+                    ("NIMPHI", 4))}
+
+
+def _prm_text(path):
+    prm = {"bond": {}, "angle": {}, "ub": {}, "dih": {}, "imp": {},
+           "nb": {}, "nbfix": {}}
+    section = None
+    skip = {"CUTNB", "CTOFNB", "CTONNB", "EPS", "E14FAC", "WMIN"}
+    names = {"ATOMS", "BONDS", "ANGLES", "DIHEDRALS", "IMPROPER",
+             "IMPROPERS", "NONBONDED", "NBFIX", "NBTHOLE", "CMAP",
+             "HBOND", "END"}
+    for raw in open(path):
+        line = raw.split("!")[0].strip()
+        if not line or line.startswith("*"):
+            continue
+        w = line.split()
+        u = w[0].upper()
+        if u in names or u.startswith("NONB"):
+            section = "NONBONDED" if u.startswith("NONB") else u
+            continue
+        if u in skip:
+            continue
+        if section == "BONDS":
+            prm["bond"][(min(w[0], w[1]), max(w[0], w[1]))] = \
+                (float(w[2]), float(w[3]))
+        elif section == "ANGLES":
+            key = (min(w[0], w[2]), w[1], max(w[0], w[2]))
+            prm["angle"][key] = (float(w[3]), float(w[4]))
+            if len(w) >= 7:
+                prm["ub"][key] = (float(w[5]), float(w[6]))
+        elif section == "DIHEDRALS":
+            key = min((w[0], w[1], w[2], w[3]), (w[3], w[2], w[1], w[0]))
+            terms = prm["dih"].setdefault(key, {})
+            terms[int(w[5])] = (float(w[4]), float(w[6]))  # n -> (K, delta)
+        elif section in ("IMPROPER", "IMPROPERS"):
+            key = min((w[0], w[1], w[2], w[3]), (w[3], w[2], w[1], w[0]))
+            prm["imp"][key] = float(w[4])
+        elif section == "NONBONDED":
+            eps14 = abs(float(w[5])) if len(w) >= 7 else abs(float(w[2]))
+            r14 = float(w[6]) if len(w) >= 7 else float(w[3])
+            prm["nb"][w[0]] = (abs(float(w[2])), float(w[3]), eps14, r14)
+        elif section == "NBFIX":
+            prm["nbfix"][(min(w[0], w[1]), max(w[0], w[1]))] = \
+                (abs(float(w[2])), float(w[3]))
+    return prm
+
+
+def independent_assignment_check(model_dir, system):
+    """Raise AssertionError if any engine parameter table disagrees with
+    the independent text-level re-derivation."""
+    s = system
+    atoms, terms = _psf_text(os.path.join(model_dir, "topol.psf"))
+    prm = _prm_text(os.path.join(model_dir, "ff.prm"))
+    kcal = 4.184
+    n = len(atoms)
+    name = [a[0] for a in atoms]
+    typ = [a[1] for a in atoms]
+    q = np.array([a[2] for a in atoms])
+    m = np.array([a[3] for a in atoms])
+
+    def close(a, b, what, tol=1e-5):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        bad = np.abs(a - b) > tol * np.maximum(1.0, np.abs(b))
+        assert not bad.any(), f"{what}: {int(bad.sum())} mismatches " \
+            f"(first: got {a[bad][:3]}, want {b[bad][:3]})"
+
+    close(np.asarray(s.charges)[:n], q, "charges")
+    close(np.asarray(s.masses)[:n], m, "masses")
+
+    is_h = (m > 0) & (m < 3.5)
+    real_bonds = [(i, j) for (i, j) in terms["NBOND"]
+                  if name[i][0] != "D" and name[j][0] != "D"
+                  and not name[i].startswith("LP") and name[i] != "OM"
+                  and not name[j].startswith("LP") and name[j] != "OM"]
+
+    # bonds: unconstrained real bonds with K/b0 from the text tables
+    want = {}
+    for (i, j) in real_bonds:
+        if is_h[i] or is_h[j]:
+            continue                       # HBond-constrained
+        kb, b0 = prm["bond"][(min(typ[i], typ[j]), max(typ[i], typ[j]))]
+        want[(min(i, j), max(i, j))] = (2 * kb * kcal / 0.01, b0 * 0.1)
+    got = {}
+    bonds = np.asarray(s.bonds)
+    for r in range(bonds.shape[0]):
+        i, j = int(bonds[r, 0]), int(bonds[r, 1])
+        got[(min(i, j), max(i, j))] = (float(np.asarray(s.bond_k)[r]),
+                                       float(np.asarray(s.bond_r0)[r]))
+    assert set(got) == set(want), "bond set differs"
+    for k in want:
+        close(got[k], want[k], f"bond {k}")
+
+    # angles + UB
+    want_a, want_u = {}, {}
+    for (i, j, k3) in terms["NTHETA"]:
+        key = (min(typ[i], typ[k3]), typ[j], max(typ[i], typ[k3]))
+        ka, th0 = prm["angle"][key]
+        want_a[(i, j, k3)] = (2 * ka * kcal, math.radians(th0))
+        if key in prm["ub"]:
+            kub, s0 = prm["ub"][key]
+            want_u[(min(i, k3), max(i, k3))] = (2 * kub * kcal / 0.01,
+                                                s0 * 0.1)
+    ang = np.asarray(s.angles)
+    got_a = {}
+    for r in range(ang.shape[0]):
+        i, j, k3 = (int(x) for x in ang[r])
+        key = (i, j, k3) if (i, j, k3) in want_a else (k3, j, i)
+        got_a[key] = (float(np.asarray(s.angle_k)[r]),
+                      float(np.asarray(s.angle_theta0)[r]))
+    assert set(got_a) == set(want_a), "angle set differs"
+    for k in want_a:
+        close(got_a[k], want_a[k], f"angle {k}")
+    ub = np.asarray(s.ub_bonds)
+    got_u = {(min(int(ub[r, 0]), int(ub[r, 1])),
+              max(int(ub[r, 0]), int(ub[r, 1]))):
+             (float(np.asarray(s.ub_k)[r]), float(np.asarray(s.ub_r0)[r]))
+             for r in range(ub.shape[0])}
+    assert set(got_u) == set(want_u), "urey-bradley set differs"
+    for k in want_u:
+        close(got_u[k], want_u[k], f"ub {k}")
+
+    # dihedrals incl. the X-t2-t3-X wildcard fallback and the
+    # same-multiplicity-replaces semantics
+    want_d = {}
+    for (i, j, k3, l) in terms["NPHI"]:
+        key = min((typ[i], typ[j], typ[k3], typ[l]),
+                  (typ[l], typ[k3], typ[j], typ[i]))
+        if key not in prm["dih"]:
+            key = min(("X", typ[j], typ[k3], "X"),
+                      ("X", typ[k3], typ[j], "X"))
+        for nn, (kchi, delta) in prm["dih"][key].items():
+            want_d[(i, j, k3, l, nn)] = (kchi * kcal, math.radians(delta))
+    dih = np.asarray(s.dihedrals)
+    got_d = {}
+    for r in range(dih.shape[0]):
+        i, j, k3, l = (int(x) for x in dih[r])
+        nn = int(np.asarray(s.dihedral_n)[r])
+        key = (i, j, k3, l, nn) if (i, j, k3, l, nn) in want_d \
+            else (l, k3, j, i, nn)
+        got_d[key] = (float(np.asarray(s.dihedral_k)[r]),
+                      float(np.asarray(s.dihedral_phase)[r]))
+    assert set(got_d) == set(want_d), (
+        f"dihedral term set differs ({len(got_d)} vs {len(want_d)})")
+    for k in want_d:
+        close(got_d[k], want_d[k], f"dihedral {k}")
+
+    # impropers: exact then sorted-anchor wildcard; engine reorders rows to
+    # (atom2, atom3, atom1, atom4)
+    want_i = {}
+    for (i, j, k3, l) in terms["NIMPHI"]:
+        key = min((typ[i], typ[j], typ[k3], typ[l]),
+                  (typ[l], typ[k3], typ[j], typ[i]))
+        kpsi = prm["imp"].get(key)
+        if kpsi is None:
+            for anchor in (typ[j], typ[k3], typ[l]):
+                wkey = tuple(sorted([typ[i], anchor, "X", "X"]))
+                if wkey in prm["imp"]:
+                    kpsi = prm["imp"][wkey]
+                    break
+        assert kpsi is not None, f"no improper params for {(i, j, k3, l)}"
+        want_i[(j, k3, i, l)] = kpsi * kcal
+    imp = np.asarray(s.impropers)
+    got_i = {tuple(int(x) for x in imp[r]):
+             float(np.asarray(s.improper_k)[r]) for r in range(imp.shape[0])}
+    assert set(got_i) == set(want_i), "improper set differs"
+    for k in want_i:
+        close(got_i[k], want_i[k], f"improper {k}")
+
+    # LJ tables: geometric rule with NBFIX overrides, E = (a/r6)^2 - b/r6
+    typenames = sorted(set(typ))
+    T = len(typenames)
+    acoef = np.zeros((T, T))
+    bcoef = np.zeros((T, T))
+    for ti, t1 in enumerate(typenames):
+        for tj, t2 in enumerate(typenames):
+            fix = prm["nbfix"].get((min(t1, t2), max(t1, t2)))
+            if fix is not None:
+                w = fix[0] * kcal
+                rij = fix[1] * 0.1
+            else:
+                w = math.sqrt(prm["nb"][t1][0] * prm["nb"][t2][0]) * kcal
+                rij = math.sqrt(prm["nb"][t1][1] * prm["nb"][t2][1]) * 0.2
+            acoef[ti, tj] = math.sqrt(w) * rij ** 6
+            bcoef[ti, tj] = 2 * w * rij ** 6
+    close(np.asarray(s.acoef)[:T, :T], acoef, "acoef", tol=1e-4)
+    close(np.asarray(s.bcoef)[:T, :T], bcoef, "bcoef", tol=1e-4)
+
+    # regular 1-4 exceptions: pair set from the real-atom bond graph, qq =
+    # C q1 q4 / 2, LJ from the 1-4 columns (rmin14/2 geometric)
+    partners = {}
+    for (i, j) in real_bonds:
+        partners.setdefault(i, set()).add(j)
+        partners.setdefault(j, set()).add(i)
+    p12 = set((min(i, j), max(i, j)) for i, j in real_bonds)
+    p13 = set()
+    for (a2, a3) in real_bonds:
+        for a1 in partners.get(a2, ()):
+            if a1 != a3:
+                p13.add((min(a1, a3), max(a1, a3)))
+        for a4 in partners.get(a3, ()):
+            if a4 != a2:
+                p13.add((min(a2, a4), max(a2, a4)))
+    p14 = set()
+    for (a2, a3) in real_bonds:
+        for a1 in partners.get(a2, ()):
+            for a4 in partners.get(a3, ()):
+                if a1 != a3 and a2 != a4 and a1 != a4:
+                    p14.add((min(a1, a4), max(a1, a4)))
+    p13 -= p12
+    p14 -= p13 | p12
+    exc_idx = np.asarray(s.exc_idx)
+    exc_qq = np.asarray(s.exc_qq)
+    exc_c6 = np.asarray(s.exc_c6)
+    exc_c12 = np.asarray(s.exc_c12)
+    got_e = {}
+    for i in range(exc_idx.shape[0]):
+        for c in range(exc_idx.shape[1]):
+            j = int(exc_idx[i, c])
+            if j >= 0 and j > i:
+                got_e[(i, j)] = (float(exc_qq[i, c]), float(exc_c6[i, c]),
+                                 float(exc_c12[i, c]))
+    missing = p14 - set(got_e)
+    assert not missing, f"{len(missing)} 1-4 pairs missing from exc tables"
+    for (i, j) in sorted(p14):
+        eps = math.sqrt(prm["nb"][typ[i]][2] * prm["nb"][typ[j]][2]) * kcal
+        sig = math.sqrt(prm["nb"][typ[i]][3] * 2 * prm["nb"][typ[j]][3]
+                        * 2) * 0.1 * 2 ** (-1.0 / 6.0)
+        want_q = ONE_4PI_EPS0 * q[i] * q[j] / 2.0
+        close(got_e[(i, j)],
+              (want_q, 4 * eps * sig ** 6, 4 * eps * sig ** 12),
+              f"1-4 exception {(i, j)}", tol=1e-4)
+
+    # Drude isotropic springs k = C q_d^2 / alpha (alpha column, A^3 -> nm^3)
+    dp = np.asarray(s.drude_pairs)
+    aniso = np.asarray(s.drude_aniso)
+    alpha_col = np.array([a[4] for a in atoms])
+    for r in range(dp.shape[0]):
+        if aniso.shape[0] and aniso[r, 0] >= 0:
+            continue                      # anisotropic solving out of scope
+        d, p = int(dp[r, 0]), int(dp[r, 1])
+        alpha = -alpha_col[p] * 1e-3
+        close(float(np.asarray(s.drude_k3)[r]),
+              ONE_4PI_EPS0 * q[d] * q[d] / alpha, f"drude k3 {(d, p)}")
+
+    # Thole screened pairs: 1-2/1-3 parent pairs that both carry Drudes,
+    # screen = (t1 + t2) / (alpha1 alpha2)^(1/6)
+    drude_of = {}
+    for (i, j) in terms["NBOND"]:
+        if name[j][0] == "D":
+            drude_of[i] = j
+        elif name[i][0] == "D":
+            drude_of[j] = i
+    thole_col = np.array([a[5] for a in atoms])
+    want_t = {}
+    for (i, j) in sorted(p12 | p13):
+        if i in drude_of and j in drude_of:
+            a1 = -alpha_col[i] * 1e-3
+            a2 = -alpha_col[j] * 1e-3
+            scr = (thole_col[i] + thole_col[j]) / (a1 * a2) ** (1.0 / 6.0)
+            want_t[frozenset((drude_of[i], drude_of[j]))] = \
+                (q[drude_of[i]] * q[drude_of[j]], scr)
+    ts = np.asarray(s.thole_sites)
+    got_t = {frozenset((int(ts[r, 0]), int(ts[r, 2]))):
+             (float(np.asarray(s.thole_qq)[r]),
+              float(np.asarray(s.thole_screen)[r]))
+             for r in range(ts.shape[0])}
+    assert set(got_t) == set(want_t), (
+        f"thole pair set differs ({len(got_t)} vs {len(want_t)})")
+    for k in want_t:
+        close(got_t[k], want_t[k], "thole pair")
+
+    return {"bonds": len(want), "angles": len(want_a),
+            "dihedral_terms": len(want_d), "impropers": len(want_i),
+            "exc14": len(p14), "drude": int(dp.shape[0]),
+            "thole": len(want_t)}
+
+
 def main():
     from openmm_velocityverlet_tpu.models.grofile import GroFile
     from openmm_velocityverlet_tpu.models.prmfile import CharmmParameterSet
@@ -290,6 +607,8 @@ def main():
         prm = CharmmParameterSet(d + "ff.prm")
         built = psf.createSystem(prm, nonbondedCutoff=1.2,
                                  constraints="HBonds", rigidWater=True)
+        counts = independent_assignment_check(d, built.system)
+        print(f"  assignment cross-check OK: {counts}")
         g = golden_energies(built.system, gro.positions, gro.box)
         path = f"tests/golden/{model}.json"
         with open(path, "w") as f:
