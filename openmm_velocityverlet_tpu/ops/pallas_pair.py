@@ -330,6 +330,33 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
         plist=plist, cand=cand, overflow=overflow)
 
 
+# LJ-table one-hot dots as two exact bf16 MXU passes instead of one f32
+# matmul (Mosaic decomposes f32 matmuls into >=3 bf16 passes): the one-hot
+# operand is exactly representable in bf16, so splitting the f32 table into
+# bf16 hi + lo halves reconstructs the f32 selection to f32-rounding
+# accuracy while paying only 2 passes.  Flag for A/B perf comparison.
+LJ_DOT_BF16 = True
+
+
+def _onehot_dot(table_f32, onehot, exact_01=False):
+    """dot(table, onehot) with the table in f32 and onehot made of 0/1."""
+    if not LJ_DOT_BF16:
+        return jnp.dot(table_f32, onehot,
+                       preferred_element_type=jnp.float32)
+    oh = onehot.astype(jnp.bfloat16)
+    hi = table_f32.astype(jnp.bfloat16)
+    out = jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+    if not exact_01:
+        # two residue terms bring the reconstruction to ~2^-24 relative —
+        # f32-exact for the LJ tables even through the r^-12 amplification
+        r1 = table_f32 - hi.astype(jnp.float32)
+        lo = r1.astype(jnp.bfloat16)
+        r2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + jnp.dot(lo, oh, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(r2, oh, preferred_element_type=jnp.float32)
+    return out
+
+
 def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                  grows_ref, posT_ref, qT_ref, onehotT_ref, bitsT_ref,
                  gonehotT_ref, box_ref, fout_ref, *, n, n_pad, tm, tn, beta,
@@ -378,12 +405,11 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         alive = (delta != 0) & (row_ids < n) & (col_ids < n)
 
         onehot_c = onehotT_ref[:, pl.ds(col0, tn)]              # (T,tn)
-        a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
-        b = jnp.dot(b_rows, onehot_c, preferred_element_type=jnp.float32)
+        a = _onehot_dot(a_rows, onehot_c)
+        b = _onehot_dot(b_rows, onehot_c)
         if use_groups:
             goh_c = gonehotT_ref[:, pl.ds(col0, tn)]            # (G,tn)
-            allowed = jnp.dot(grows_ref[:, :], goh_c,
-                              preferred_element_type=jnp.float32)
+            allowed = _onehot_dot(grows_ref[:, :], goh_c, exact_01=True)
             a = a * allowed
             b = b * allowed
         qq = ONE_4PI_EPS0 * qrow * qcol
@@ -575,12 +601,11 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                         (delta >= -MAX_EXCL_OFFSET)
 
         onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
-        a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
-        b = jnp.dot(b_rows, onehot_c, preferred_element_type=jnp.float32)
+        a = _onehot_dot(a_rows, onehot_c)
+        b = _onehot_dot(b_rows, onehot_c)
         if use_groups:
             goh_c = gonehotT_ref[:, pl.ds(col0, ts)]
-            allowed = jnp.dot(grows_ref[:, :], goh_c,
-                              preferred_element_type=jnp.float32)
+            allowed = _onehot_dot(grows_ref[:, :], goh_c, exact_01=True)
             a = a * allowed
             b = b * allowed
         qq = ONE_4PI_EPS0 * qrow * qcol
@@ -633,10 +658,9 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                 jnp.where(corr, f_x, zero)
             if has14:
                 pair14 = alive & is14
-                a14 = jnp.dot(ab_rows_ref[:, 2 * t_dim:3 * t_dim], onehot_c,
-                              preferred_element_type=jnp.float32)
-                b14 = jnp.dot(ab_rows_ref[:, 3 * t_dim:], onehot_c,
-                              preferred_element_type=jnp.float32)
+                a14 = _onehot_dot(ab_rows_ref[:, 2 * t_dim:3 * t_dim],
+                                  onehot_c)
+                b14 = _onehot_dot(ab_rows_ref[:, 3 * t_dim:], onehot_c)
                 e14_c = 0.5 * qq * inv_r
                 a14lj = a14 * inv_r6
                 e14_12 = a14lj * a14lj
@@ -995,12 +1019,11 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
             alive = delta != 0
 
         onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
-        a = jnp.dot(a_rows, onehot_c, preferred_element_type=jnp.float32)
-        b = jnp.dot(b_rows, onehot_c, preferred_element_type=jnp.float32)
+        a = _onehot_dot(a_rows, onehot_c)
+        b = _onehot_dot(b_rows, onehot_c)
         if use_groups:
             goh_c = gonehotT_ref[:, pl.ds(col0, ts)]
-            allowed = jnp.dot(grows_ref[:, :], goh_c,
-                              preferred_element_type=jnp.float32)
+            allowed = _onehot_dot(grows_ref[:, :], goh_c, exact_01=True)
             a = a * allowed
             b = b * allowed
         qq = ONE_4PI_EPS0 * qrow * qcol
