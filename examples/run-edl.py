@@ -4,9 +4,14 @@ reference driver (/root/reference/examples/run-edl.py): MoS2 electrodes with
 image charges, Langevin on the solid + TGNH on the liquid, Drude walls,
 electrode restraints and an applied voltage.
 
-Note: the bundled edl_* models ship without topol.psf (stripped large blobs,
-see examples/models/.MISSING_LARGE_BLOBS in the reference); supply your own
-PSF to run this workload on the original datasets.
+The bundled edl_* models ship without topol.psf (stripped large blobs, see
+examples/models/.MISSING_LARGE_BLOBS in the reference);
+tools/reconstruct_edl_psf.py rebuilds all four from conf.gro + ff.prm + the
+bulk residue templates, so the original datasets run directly:
+
+    python tools/reconstruct_edl_psf.py edl_Im21
+    python run-edl.py -v 1 --gro .../edl_Im21/conf.gro \
+        --psf /tmp/edl_real/edl_Im21/topol.psf --prm .../edl_Im21/ff.prm
 """
 import argparse
 import os
