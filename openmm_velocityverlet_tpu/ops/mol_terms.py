@@ -234,7 +234,12 @@ def energies_and_forces(pos, box, types, n_atoms):
                 .reshape(cnt, t.apm, 3) for st, cnt in t.runs]
         P = segs[0] if len(segs) == 1 else jnp.concatenate(segs, 0)
         S = jnp.asarray(t.select)          # (apm, S_tot)
-        comp = [jnp.dot(P[:, :, c], S, **_DOT) for c in range(3)]  # (m,S_tot)
+        # one (3m, apm) x (apm, S_tot) matmul instead of three — each dot
+        # is its own TPU kernel launch, and the step is launch-count bound
+        m_cnt = P.shape[0]
+        P3 = jnp.transpose(P, (2, 0, 1)).reshape(3 * m_cnt, t.apm)
+        comp3 = jnp.dot(P3, S, **_DOT).reshape(3, m_cnt, -1)
+        comp = [comp3[0], comp3[1], comp3[2]]              # (m, S_tot) each
         grads_flat = [[], [], []]
         for (kind, li, pr, wh), off in zip(t.kinds, t.offsets):
             nt, p = li.shape
@@ -269,7 +274,9 @@ def energies_and_forces(pos, box, types, n_atoms):
                         g = jnp.broadcast_to(g, e_t.shape)
                     grads_flat[c].append(g)
         G = [jnp.concatenate(gl, axis=1) for gl in grads_flat]  # (m, S_tot)
-        F = jnp.stack([jnp.dot(g, S.T, **_DOT) for g in G], -1)  # (m, apm, 3)
+        G3 = jnp.concatenate(G, axis=0)                    # (3m, S_tot)
+        F3 = jnp.dot(G3, S.T, **_DOT).reshape(3, m_cnt, t.apm)
+        F = jnp.transpose(F3, (1, 2, 0))                   # (m, apm, 3)
         F = -F.reshape(-1, 3)
         o = 0
         for st, cnt in t.runs:
