@@ -99,3 +99,30 @@ def test_reconstructed_psf_builds_system(tmp_path):
     k_bond = np.asarray(s.bond_k)[mos_bonds]
     np.testing.assert_allclose(k_bond, 2 * 51.422084 * 4.184 / 0.01,
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("model", ["edl_Im81", "edl_ImB1", "edl_ImO1"])
+def test_other_edl_models_reconstruct_and_build(model, tmp_path):
+    """The remaining three EDL datasets reconstruct and drive createSystem
+    with every parameter resolved (lighter checks than edl_Im21)."""
+    import reconstruct_edl_psf as r
+    from openmm_velocityverlet_tpu.models.grofile import GroFile
+    from openmm_velocityverlet_tpu.models.prmfile import CharmmParameterSet
+    from openmm_velocityverlet_tpu.models.psffile import OplsPsfFile
+
+    out = str(tmp_path / "topol.psf")
+    r.reconstruct(model, out)
+    d = os.path.join(MODELS, model)
+    gro = GroFile(os.path.join(d, "conf.gro"))
+    psf = OplsPsfFile(out, periodicBoxVectors=gro.getPeriodicBoxVectors())
+    prm = CharmmParameterSet(os.path.join(d, "ff.prm"))
+    built = psf.createSystem(prm, nonbondedCutoff=1.2, constraints="HBonds",
+                             rigidWater=True)
+    s = built.system
+    assert s.n_atoms == len(gro.positions)
+    top = built.topology
+    img = top.select_by_residue_name("IMG")
+    ils = top.select_by_residue_name("MoS2", "IMG", invert=True)
+    assert len(img) == len(ils)
+    q = np.asarray(s.charges)
+    assert abs(q.sum()) < 0.01 and s.is_drude
