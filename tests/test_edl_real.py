@@ -126,3 +126,44 @@ def test_other_edl_models_reconstruct_and_build(model, tmp_path):
     assert len(img) == len(ils)
     q = np.asarray(s.charges)
     assert abs(q.sum()) < 0.01 and s.is_drude
+
+
+def test_run_edl_wiring_on_real_dataset(tmp_path, monkeypatch):
+    """run-edl.py's full wiring on the REAL reconstructed edl_Im21: exact
+    image-charge bookkeeping, Langevin electrode + TGNH liquid partition,
+    E-field on the electrolyte, and the reference's DOF accounting
+    (TG_DRUDE = 3*pairs, TG_COM = 3*ion-molecules - 3 for CMMotion; the
+    18907 massless images and ghost-free molecules add nothing)."""
+    import importlib.util
+
+    import reconstruct_edl_psf as r
+    out = str(tmp_path / "topol.psf")
+    r.reconstruct("edl_Im21", out)
+    spec = importlib.util.spec_from_file_location(
+        "runedl", os.path.join(os.path.dirname(__file__), "..",
+                               "examples", "run-edl.py"))
+    runedl = importlib.util.module_from_spec(spec)
+    argv = sys.argv
+    sys.argv = ["run-edl.py"]
+    spec.loader.exec_module(runedl)
+    sys.argv = argv
+    monkeypatch.chdir(tmp_path)
+    d = os.path.join(MODELS, "edl_Im21") + "/"
+    sim = runedl.gen_simulation(d + "conf.gro", out, d + "ff.prm",
+                                voltage=1.0)
+    ctx = sim.context
+    q = np.asarray(ctx.system.charges)
+    data = ctx.data
+    pairs = np.asarray(data.image_pairs)
+    assert pairs.shape == (18907, 2)
+    assert float(data.mirror_location) == 8.0
+    np.testing.assert_allclose(q[pairs[:, 0]].sum(),
+                               -q[pairs[:, 1]].sum(), atol=1e-6)
+    assert data.ld_normal.shape[0] == 2496 and data.ld_pairs.shape[0] == 0
+    assert data.nh_pairs.shape[0] == 6643
+    assert data.nh_normal.shape[0] == 18907 - 2 * 6643
+    dof = np.asarray(data.temp_group_dof)
+    assert dof[2] == 3 * 6643                 # TG_DRUDE
+    assert dof[1] == 3 * 1022 - 3             # TG_COM (ions - CMMotion)
+    assert data.electrolyte.shape[0] == 18907
+    assert float(data.electric_field) > 0
