@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 from openmm_velocityverlet_tpu import Context, VVIntegrator
-from openmm_velocityverlet_tpu.app import (CheckpointReporter,
+from openmm_velocityverlet_tpu.app import (CheckpointReporter, DCDReporter,
                                            DrudeTemperatureReporter,
                                            GroReporter, Simulation,
                                            StateDataReporter, load_checkpoint)
@@ -138,6 +138,7 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=333, voltage=0,
         ctx.set_velocities_to_temperature(T)
         append = False
 
+    sim.reporters.append(DCDReporter("dump.dcd", 10000, append=append))
     sim.reporters.append(CheckpointReporter("cpt.cpt", 10000))
     sim.reporters.append(GroReporter("dump.gro", 1000, logarithm=True,
                                      subset=group_mos + group_ils,
