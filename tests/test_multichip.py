@@ -199,3 +199,46 @@ def test_run_bulk_mesh_flag_smoke(tmp_path, monkeypatch):
     pos = sim.context._carry.state.pos
     assert tuple(pos.sharding.spec)[:1] == ("atoms",), pos.sharding
     assert bool(jnp.isfinite(pos).all())
+
+
+def test_mesh_padded_context_reporters_and_checkpoint(tmp_path, monkeypatch):
+    """Ghost-padding must stay invisible to the app surface: reporters see
+    n_real atoms, checkpoints round-trip, and kinetic/potential queries
+    work on a mesh context with a non-divisible atom count."""
+    import io
+
+    import __graft_entry__ as ge
+    from openmm_velocityverlet_tpu.app import (GroReporter, Simulation,
+                                               StateDataReporter,
+                                               load_checkpoint,
+                                               save_checkpoint)
+
+    monkeypatch.chdir(tmp_path)
+    mesh = make_mesh(jax.devices()[:8])
+    ctx = ge._drude_system(n_mol=15, mesh=mesh)   # 60 atoms -> pad to 64
+    assert ctx.system.n_atoms == 64 and ctx.n_real == 60
+    assert ctx.get_positions().shape == (60, 3)
+    assert ctx.get_velocities().shape == (60, 3)
+
+    class Topo:
+        n_atoms = 60
+        atom_names = ["X"] * 60
+        residue_ids = [1] * 60
+        residue_names = ["MOL"] * 60
+
+    sim = Simulation(Topo(), ctx)
+    buf = io.StringIO()
+    sim.reporters.append(StateDataReporter(buf, 2))
+    sim.reporters.append(GroReporter("dump.gro", 4))
+    sim.step(4)
+    assert "NaN" not in buf.getvalue() and buf.getvalue().count("\n") >= 2
+    gro_text = open("dump.gro").read()
+    assert gro_text.splitlines()[1].strip() == "60"
+
+    save_checkpoint(ctx, "c.cpt")
+    pos_before = ctx.get_positions()
+    ctx.step(3)
+    load_checkpoint(ctx, "c.cpt")
+    np.testing.assert_allclose(ctx.get_positions(), pos_before, atol=0)
+    ctx.step(2)                                   # stepping after restore
+    assert np.isfinite(ctx.kinetic_energy())
