@@ -208,6 +208,8 @@ class ForceEvaluator:
             return self.plist_cap > 0
         if self.band_w < 1:
             return False
+        # eligibility is a property of the REAL tile ring (mesh tile
+        # padding appends inert tiles outside the circular band)
         n_pad = ((self.system.n_atoms + self.pair_ts - 1)
                  // self.pair_ts) * self.pair_ts
         return pallas_pair.band_eligible(n_pad, self.pair_ts, self.band_w)
@@ -224,7 +226,8 @@ class ForceEvaluator:
                 rc_cand=self.system.r_cutoff + self.skin)
         return pallas_pair.make_pair_cache(
             self.place_vsites(pos_raw), box,
-            jnp.asarray(self.system.charges), self.pair_tables, self.pair_ts)
+            jnp.asarray(self.system.charges), self.pair_tables, self.pair_ts,
+            tile_multiple=max(self._mesh_size, 1))
 
     def pair_cache_stale(self, pos_raw, box, cache):
         """Device bool: current positions are no longer covered under this
@@ -307,7 +310,8 @@ class ForceEvaluator:
             charges_j = jnp.asarray(s.charges)
             if pair_cache is None:
                 pair_cache = pallas_pair.make_pair_cache(
-                    pos, box, charges_j, self.pair_tables, self.pair_ts)
+                    pos, box, charges_j, self.pair_tables, self.pair_ts,
+                    tile_multiple=self._mesh_size)
             e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
                 pallas_pair.banded_sweep_sharded(
                     self.mesh, self.mesh_axis, pos, box, charges_j,

@@ -225,7 +225,8 @@ def _padded_statics(n, pad, charges, tables):
 
 def make_pair_cache(pos, box, charges, tables, ts: int = 512,
                     mode: str = "z", cap: int = 0,
-                    rc_cand: float = 0.0) -> PairCache:
+                    rc_cand: float = 0.0,
+                    tile_multiple: int = 1) -> PairCache:
     """Sort atoms spatially and permute every static table (device-side;
     call under jit, e.g. inside the step's refresh branch).
 
@@ -239,7 +240,12 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
     culling is exact per tile pair, so a z-sorted list also beats the
     fixed worst-case band width of the banded sweep."""
     n = pos.shape[0]
-    n_pad = ((n + ts - 1) // ts) * ts
+    # tile_multiple > 1: round the tile count itself up to a multiple (the
+    # row-sharded multi-chip sweep assigns n_tiles/n_dev row tiles per
+    # device, so n_tiles must divide by the mesh size; extra rows are the
+    # same far-away inert padding as the tail of the last real tile)
+    blk = ts * max(int(tile_multiple), 1)
+    n_pad = ((n + blk - 1) // blk) * blk
     pad = n_pad - n
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
     iota = jnp.arange(n_pad, dtype=jnp.int32)
@@ -858,9 +864,13 @@ def band_coverage_bad(pos, box, cache: PairCache, ts: int, band_w: int,
     gap = jnp.where(delta >= 0,
                     delta - hi[:, None] + lo[None, :],
                     -delta - hi[None, :] + lo[:, None])
+    # the band ring spans only the tiles holding real atoms (pads sort
+    # last; tile_multiple padding for the row-sharded sweep appends whole
+    # pad tiles) — wrap offsets must use the REAL ring modulus
+    n_ring = (n + ts - 1) // ts
     off = (np.arange(n_tiles)[None, :]
-           - np.arange(n_tiles)[:, None]) % n_tiles
-    covered = np.minimum(off, n_tiles - off) <= band_w
+           - np.arange(n_tiles)[:, None]) % n_ring
+    covered = np.minimum(off, n_ring - off) <= band_w
     bad = (~covered) & ((gap <= r_cutoff) | width_bad[:, None]
                         | width_bad[None, :]) \
         & nonempty[:, None] & nonempty[None, :]
@@ -1280,20 +1290,26 @@ def banded_sweep_sharded(mesh, axis_name, pos, box, charges, tables,
     from jax.sharding import PartitionSpec as P
 
     n = pos.shape[0]
-    n_pad = ((n + ts - 1) // ts) * ts
-    pad = n_pad - n
     n_dev = mesh.devices.size
-    if n_pad % (ts * n_dev) != 0:
-        raise ValueError(f"n_pad={n_pad} not divisible by ts*n_dev="
-                         f"{ts * n_dev}")
-    if not band_eligible(n_pad, ts, band_w):
-        raise ValueError("banded enumeration not eligible for this size")
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
     if cache is None:
-        cache = make_pair_cache(pos, box_arr, charges, tables, ts)
+        cache = make_pair_cache(pos, box_arr, charges, tables, ts,
+                                tile_multiple=n_dev)
+    n_pad = int(cache.perm.shape[0])
+    pad = n_pad - n
+    if n_pad % (ts * n_dev) != 0:
+        raise ValueError(
+            f"n_pad={n_pad} not divisible by ts*n_dev={ts * n_dev}; build "
+            f"the cache with make_pair_cache(..., tile_multiple=n_dev)")
     pos2d = jnp.concatenate(
         [pos, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)[cache.perm]
     n_tiles = n_pad // ts
+    # the circular band ring spans only the tiles holding real atoms (pads
+    # sort last); ring-wrap pairs (z top <-> bottom) must use THIS modulus
+    # or tile-count padding would push them beyond band_w
+    n_tiles_real = (n + ts - 1) // ts
+    if not band_eligible(n_tiles_real * ts, ts, band_w):
+        raise ValueError("banded enumeration not eligible for this size")
     tiles_local = n_tiles // n_dev
     rows_local = tiles_local * ts
     t_dim = int(np.asarray(tables["arows"]).shape[1])
@@ -1309,7 +1325,7 @@ def banded_sweep_sharded(mesh, axis_name, pos, box, charges, tables,
             bits_l, bits14_l, oid_l, grows_l, posT, qT, onehotT, bitsT,
             bits14T, oidT, gonehotT, boxs, float(beta), float(r_cutoff),
             ts, n, t_dim, has14, interpret, want_energy=want_energy,
-            row_off=row_off[None], n_tiles_g=n_tiles)
+            row_off=row_off[None], n_tiles_g=n_tiles_real)
         colacc = jax.lax.psum(colacc, axis_name)
         return rows, colacc
 

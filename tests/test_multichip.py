@@ -242,3 +242,33 @@ def test_mesh_padded_context_reporters_and_checkpoint(tmp_path, monkeypatch):
     np.testing.assert_allclose(ctx.get_positions(), pos_before, atol=0)
     ctx.step(2)                                   # stepping after restore
     assert np.isfinite(ctx.kinetic_energy())
+
+
+def test_sharded_banded_kernel_non_divisible_tiles():
+    """Tile counts that don't divide the mesh: make_pair_cache's
+    tile_multiple pads the tile count itself (2056 atoms -> 17 tiles of
+    128 -> padded to 24 over 8 devices) and the sharded sweep matches the
+    dense reference."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_pallas import _mol_system
+
+    from openmm_velocityverlet_tpu.ops import allpairs, pallas_pair
+
+    rng = np.random.default_rng(11)
+    lj_type, a, b, excl, pos, box, q = _mol_system(514, rng, lz=16.0)
+    n = len(lj_type)
+    assert n == 2056 and n % 8 == 0 and (n // 128) * 128 != n
+    tables = allpairs.build_pair_tables(n, lj_type, a, b, excl)
+    pos = jnp.asarray(pos, jnp.float32)
+    q = jnp.asarray(q, jnp.float32)
+    beta, rc, ts, band_w = 2.2, 1.2, 128, 3
+    mesh = make_mesh(jax.devices()[:8])
+    out = pallas_pair.banded_sweep_sharded(
+        mesh, "atoms", pos, box, q, tables, beta, rc, ts, band_w,
+        cache=None, interpret=True)
+    dense = allpairs.direct_space_dense(pos, box, q, tables, beta, rc, 256)
+    np.testing.assert_allclose(np.asarray(out[5]), np.asarray(dense[5]),
+                               rtol=1e-3, atol=5e-2)
+    for k in (0, 1, 2):
+        np.testing.assert_allclose(float(out[k]), float(dense[k]),
+                                   rtol=2e-4)
