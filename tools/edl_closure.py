@@ -107,10 +107,30 @@ def main():
     phi = -np.cumsum(e_tot) * dz
     phi -= phi[0]
 
-    # electrode interiors: the slab layers sit at z ~ [lz-0.7, lz] U [0,
-    # 0.05] (wrapped, lower electrode) and z ~ mirror +- 0.7 (upper)
-    in_lower = zc < 0.25
-    in_upper = np.abs(zc - mirror) < 0.25
+    # electrode interiors, detected from the actual MoS2 atom positions so
+    # both the synthesized capacitor and the real reconstructed datasets
+    # work (real edl_*: two trilayers per electrode, lower wrapped across
+    # z=0, upper above the mirror)
+    names = np.asarray(sim.topology.residue_names)
+    mos_z = np.asarray(ctx.state.pos)[names == "MoS2", 2] % lz
+    d_mirror = np.abs((mos_z - mirror + 0.5 * lz) % lz - 0.5 * lz)
+    d_zero = np.abs((mos_z + 0.5 * lz) % lz - 0.5 * lz)
+    upper_z = mos_z[d_mirror < d_zero]
+    lower_z = mos_z[d_zero <= d_mirror]
+
+    def region(zs):
+        # circular mean/extent of the slab's z values, then the bin-center
+        # mask of that interval
+        th = zs * (2 * np.pi / lz)
+        c = np.arctan2(np.sin(th).mean(), np.cos(th).mean()) * lz / (2 * np.pi)
+        dev = (zs - c + 0.5 * lz) % lz - 0.5 * lz
+        mid = (c + 0.5 * (dev.min() + dev.max())) % lz
+        half = max(float(dev.max() - dev.min()), 0.1) / 2.0
+        dd = np.abs((zc - mid + 0.5 * lz) % lz - 0.5 * lz)
+        return dd <= half
+
+    in_lower = region(lower_z)
+    in_upper = region(upper_z)
     e_lower = float(np.mean(e_tot[in_lower]))
     e_upper = float(np.mean(e_tot[in_upper]))
     e_liquid = float(np.mean(np.abs(
