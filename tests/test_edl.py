@@ -177,6 +177,13 @@ def test_synthesized_edl_model_runs():
             sys.argv = argv0
             os.chdir(cwd)
         ctx = sim.context
+        # the image molecule-links must NOT disable the dense bonded path:
+        # term batching groups by term-graph connectivity, so both liquid
+        # species batch even though their thermostat molecules include the
+        # (non-contiguous) image particles
+        batched = {(t.apm, t.n_mol) for t in ctx.evaluator.mol_types}
+        assert any(apm == 27 for apm, _n in batched), batched
+        assert any(apm == 10 for apm, _n in batched), batched
         terms = ctx.potential_energy_terms()
         assert all(np.isfinite(v) for v in terms.values()), terms
         # image exclusion mirroring keeps the Coulomb scale physical
