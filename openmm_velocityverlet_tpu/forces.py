@@ -53,6 +53,18 @@ class ForceEvaluator:
         self.mesh_axis = mesh_axis
         self.pallas_interpret = pallas_interpret
         self._mesh_size = int(mesh.devices.size) if mesh is not None else 1
+        # force-inert particles (massless, non-vsite — EDL image charges,
+        # mesh ghosts): their forces are discarded by the integrator and
+        # nothing redistributes them, so inert-inert pair interactions are
+        # dynamically irrelevant and the step's pair list culls them
+        # (energies still use an un-culled list).  At EDL scale images are
+        # ~47% of all atoms and spatially segregated, so this removes a
+        # large fraction of the pair sweep.
+        inert = np.asarray(system.inv_masses) == 0
+        vidx = np.asarray(system.vsite_index).reshape(-1)
+        if vidx.size:
+            inert[vidx] = False
+        self._inert_mask = inert if inert.any() else None
         if pair_kernel == "auto":
             # the Pallas kernel needs a real TPU; CPU tests use the jnp path
             pair_kernel = ("pallas" if jax.default_backend() != "cpu"
@@ -223,7 +235,8 @@ class ForceEvaluator:
                 self.place_vsites(pos_raw), box,
                 jnp.asarray(self.system.charges), self.pair_tables,
                 self.pair_ts, mode=self.plist_sort, cap=self.plist_cap,
-                rc_cand=self.system.r_cutoff + self.skin)
+                rc_cand=self.system.r_cutoff + self.skin,
+                inert=self._inert_mask)
         return pallas_pair.make_pair_cache(
             self.place_vsites(pos_raw), box,
             jnp.asarray(self.system.charges), self.pair_tables, self.pair_ts,

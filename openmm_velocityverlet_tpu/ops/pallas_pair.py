@@ -117,6 +117,13 @@ class PairCache(NamedTuple):
     #                             overflowed SMEM at EDL scale
     cand: jnp.ndarray = None    # (T,T) bool AABB-candidate tile pairs
     overflow: jnp.ndarray = None  # () bool: candidate count exceeded cap
+    # (T,) bool: every real atom in the tile is force-inert (massless,
+    # non-vsite — e.g. slaved image charges).  Inert-inert tile pairs are
+    # culled from the FORCE path's pair list: their interactions produce
+    # forces only on particles whose forces are discarded (inv_mass = 0,
+    # no vsite redistribution), so dynamics are bit-identical.  Energy
+    # queries build their own un-culled cache.
+    tile_inert: jnp.ndarray = None
 
 
 def _morton_key(pos, box, n_pad):
@@ -226,7 +233,8 @@ def _padded_statics(n, pad, charges, tables):
 def make_pair_cache(pos, box, charges, tables, ts: int = 512,
                     mode: str = "z", cap: int = 0,
                     rc_cand: float = 0.0,
-                    tile_multiple: int = 1) -> PairCache:
+                    tile_multiple: int = 1,
+                    inert=None) -> PairCache:
     """Sort atoms spatially and permute every static table (device-side;
     call under jit, e.g. inside the step's refresh branch).
 
@@ -278,6 +286,20 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
         cand = (d2 <= jnp.float32(rc_cand) ** 2) & pair_ok
         ii = jnp.arange(n_tiles, dtype=jnp.int32)
         cand = cand | (jnp.eye(n_tiles, dtype=bool) & nonempty[:, None])
+        if inert is not None:
+            # cull inert-inert tile pairs from the FORCE path (see the
+            # PairCache.tile_inert doc): pads count as inert.  Diagonal
+            # entries stay — every nonempty row tile must be visited at
+            # least once so its output block gets zero-initialized (an
+            # unvisited block is VMEM garbage, and garbage forces on inert
+            # atoms would NaN-poison the kick via NaN * inv_mass=0).
+            inert_pad = jnp.concatenate(
+                [jnp.asarray(inert, bool),
+                 jnp.ones((pad,), bool)])[perm].reshape(n_tiles, ts)
+            tile_inert = jnp.all(inert_pad, axis=1)
+            cull = tile_inert[:, None] & tile_inert[None, :] \
+                & ~jnp.eye(n_tiles, dtype=bool)
+            cand = cand & ~cull
         # exclusion tile-pair flags: excluded pairs live at original-index
         # offsets 1..31.  EXACT and scatter-free: for each offset d,
         # accumulate the partner-tile one-hot rows shifted by d, masked by
@@ -333,7 +355,9 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
         bits14T=bits14_2d.reshape(1, -1),
         oidT=perm.reshape(1, -1), onehotT=onehot2d[perm].T,
         gonehotT=gonehot2d[perm].T,
-        plist=plist, cand=cand, overflow=overflow)
+        plist=plist, cand=cand, overflow=overflow,
+        tile_inert=(tile_inert if (cap > 0 and inert is not None)
+                    else None))
 
 
 # LJ-table one-hot dots as two exact bf16 MXU passes instead of one f32
@@ -893,6 +917,11 @@ def plist_coverage_bad(pos_sorted, box, cache: PairCache, ts: int,
     cmean, lo, hi, nonempty = _tile_intervals(pos_sorted, valid, box_arr, ts)
     d2 = _tile_pair_dist2(cmean, lo, hi, box_arr)
     pair_ok = nonempty[:, None] & nonempty[None, :]
+    if cache.tile_inert is not None:
+        # inert-inert pairs are deliberately absent from the force path's
+        # list (PairCache.tile_inert) — not a coverage miss
+        pair_ok = pair_ok & ~(cache.tile_inert[:, None]
+                              & cache.tile_inert[None, :])
     bad = (~cache.cand) & pair_ok & (d2 <= jnp.float32(r_cutoff) ** 2)
     return bad.any() | cache.overflow
 

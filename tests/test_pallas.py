@@ -301,3 +301,51 @@ def test_pallas_exc14_matches_dense_and_term_pass():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(float(d[4]), float(es["exception_lj"]),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_plist_inert_tile_culling():
+    """Inert-inert tile pairs (all-massless non-vsite atoms, e.g. EDL
+    image charges) are culled from the force path's pair list: forces on
+    every non-inert atom stay exact vs the dense sweep, the coverage check
+    does not trip, and the candidate list genuinely shrinks."""
+    rng = np.random.default_rng(13)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    n = len(lj_type)
+    tables = allpairs.build_pair_tables(n, lj_type, a, b, excl,
+                                        fold_exc14=False)
+    beta, rc, ts = 2.2, 1.2, 128
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    # "images": every atom in the upper z half is inert (spatially
+    # segregated, like the EDL image region)
+    inert = pos[:, 2] % box[2] > box[2] / 2
+    assert 0.25 < inert.mean() < 0.75
+    cnt = pallas_pair.count_candidates_np(pos, box, ts, rc + 0.1,
+                                          mode="morton")
+    cap = int(cnt * 1.6) + 16
+    cache_full = pallas_pair.make_pair_cache(
+        posj, box, qj, tables, ts, mode="morton", cap=cap, rc_cand=rc + 0.1)
+    cache_cull = pallas_pair.make_pair_cache(
+        posj, box, qj, tables, ts, mode="morton", cap=cap, rc_cand=rc + 0.1,
+        inert=jnp.asarray(inert))
+    n_full = int(np.asarray(cache_full.cand).sum())
+    n_cull = int(np.asarray(cache_cull.cand).sum())
+    assert n_cull < n_full, (n_cull, n_full)
+    assert not bool(pallas_pair.plist_coverage_bad(
+        jnp.concatenate([posj, jnp.full((cache_cull.perm.shape[0] - n, 3),
+                                        1e6, jnp.float32)])[cache_cull.perm],
+        box, cache_cull, ts, rc))
+    dense = allpairs.direct_space_dense(posj, box, qj, tables, beta, rc, 256)
+    out = pallas_pair.direct_space_pallas(
+        posj, box, qj, tables, beta, rc, ts=ts, interpret=True,
+        mode="plist", plist_cap=cap, cache=cache_cull, want_energy=False)
+    f_p = np.asarray(out[5])
+    f_d = np.asarray(dense[5])
+    np.testing.assert_allclose(f_p[~inert], f_d[~inert], rtol=1e-3,
+                               atol=5e-2)
+    # no NaNs anywhere: every visited row block is initialized (diagonal
+    # entries are kept for exactly this reason)
+    assert np.isfinite(f_p).all()
+    # ...and the cull visibly dropped inert-inert work (forces on some
+    # inert atoms differ from the full sweep)
+    assert np.max(np.abs(f_p[inert] - f_d[inert])) > 1.0
