@@ -123,7 +123,8 @@ class ForceEvaluator:
                     for cand in (128, 256, 384):
                         cnt = pallas_pair.count_candidates_np(
                             pos_hint, box_hint, cand,
-                            system.r_cutoff + self.skin, mode=key)
+                            system.r_cutoff + self.skin, mode=key,
+                            inert=self._inert_mask)
                         cost = cnt * (cand * cand + 6000)
                         if best is None or cost < best[0]:
                             best = (cost, cand, key)
@@ -157,7 +158,8 @@ class ForceEvaluator:
             if pos_hint is not None and box_hint is not None:
                 cnt = pallas_pair.count_candidates_np(
                     pos_hint, box_hint, self.pair_ts,
-                    system.r_cutoff + self.skin, mode=self.plist_sort)
+                    system.r_cutoff + self.skin, mode=self.plist_sort,
+                    inert=self._inert_mask)
                 self.plist_cap = min(full, int(cnt * 1.6) + 64)
             else:
                 self.plist_cap = full

@@ -927,7 +927,7 @@ def plist_coverage_bad(pos_sorted, box, cache: PairCache, ts: int,
 
 
 def count_candidates_np(pos, box, ts: int, rc_cand: float,
-                        mode: str = "morton") -> int:
+                        mode: str = "morton", inert=None) -> int:
     """Host-side (numpy) mirror of the AABB candidate enumeration under
     the chosen sort key: the exact candidate tile-pair count for THIS
     configuration.  Used to size the pair-list capacity at evaluator build
@@ -982,6 +982,14 @@ def count_candidates_np(pos, box, ts: int, rc_cand: float,
     d2 = np.sum(gap * gap, axis=-1)
     cand = (d2 <= rc_cand ** 2) & nonempty[:, None] & nonempty[None, :]
     cand |= np.eye(n_tiles, dtype=bool) & nonempty[:, None]
+    if inert is not None:
+        # mirror make_pair_cache's inert-inert cull so the capacity (and
+        # hence the kernel grid) shrinks with it
+        ip = np.ones(n_pad, bool)
+        ip[:n] = np.asarray(inert, bool)[order]
+        ti = ip.reshape(n_tiles, ts).all(axis=1)
+        cand &= ~(ti[:, None] & ti[None, :]
+                  & ~np.eye(n_tiles, dtype=bool))
     ii = np.arange(n_tiles)
     return int(np.sum(cand & (ii[None, :] >= ii[:, None])))
 
