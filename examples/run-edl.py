@@ -50,7 +50,10 @@ parser.add_argument("--cpt", type=str)
 
 
 def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=333, voltage=0,
-                   restart=None):
+                   restart=None, **ctx_kwargs):
+    """ctx_kwargs forward to Context (perf knobs: sort_refresh, pair_ts,
+    mesh) — the reference driver has no equivalent because OpenMM tunes
+    its neighbor list internally (run-edl.py:100-107)."""
     print("Building system...")
     gro = GroFile(gro_file)
     lz = float(gro.box[2])
@@ -129,7 +132,7 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=333, voltage=0,
     built.refinalize()
     print("Initializing simulation...")
     ctx = Context(built.system, integrator, positions=positions, box=gro.box,
-                  external_forces=[restraint, wall])
+                  external_forces=[restraint, wall], **ctx_kwargs)
     sim = Simulation(top, ctx)
     if restart:
         load_checkpoint(ctx, restart)

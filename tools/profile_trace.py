@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--dump-hlo", default="")
     ap.add_argument("--no-fold14", action="store_true")
+    ap.add_argument("--edl", default="", metavar="MODEL_DIR",
+                    help="profile the constant-voltage EDL step instead: "
+                         "build via run-edl's gen_simulation from MODEL_DIR "
+                         "(conf.gro/topol.psf/ff.prm)")
     args = ap.parse_args()
 
     from openmm_velocityverlet_tpu import Context, VVIntegrator
@@ -40,26 +44,41 @@ def main():
     from openmm_velocityverlet_tpu.models.psffile import OplsPsfFile
     from openmm_velocityverlet_tpu.models.replicate import replicate
 
-    d = f"/root/reference/examples/models/{args.model}/"
-    gro = GroFile(d + "conf.gro")
-    psf = OplsPsfFile(d + "topol.psf",
-                      periodicBoxVectors=gro.getPeriodicBoxVectors())
-    prm = CharmmParameterSet(d + "ff.prm")
-    built = psf.createSystem(prm, nonbondedCutoff=1.2, constraints="HBonds",
-                             rigidWater=True)
-    system, pos, box = built.system, gro.positions, gro.box
-    factors = tuple(int(x) for x in args.replicate.split(","))
-    if factors != (1, 1, 1):
-        system, pos, box = replicate(system, pos, box, factors)
-    print(f"model={args.model} x{factors} atoms={system.n_atoms} "
-          f"kmax={system.kmax}")
+    if args.edl:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "runedl", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "examples", "run-edl.py"))
+        runedl = importlib.util.module_from_spec(spec)
+        argv0, sys.argv = sys.argv, ["run-edl.py"]
+        spec.loader.exec_module(runedl)
+        sys.argv = argv0
+        sim = runedl.gen_simulation(args.edl + "/conf.gro",
+                                    args.edl + "/topol.psf",
+                                    args.edl + "/ff.prm", voltage=1.0)
+        ctx = sim.context
+        print(f"edl={args.edl} atoms={ctx.system.n_atoms}")
+    else:
+        d = f"/root/reference/examples/models/{args.model}/"
+        gro = GroFile(d + "conf.gro")
+        psf = OplsPsfFile(d + "topol.psf",
+                          periodicBoxVectors=gro.getPeriodicBoxVectors())
+        prm = CharmmParameterSet(d + "ff.prm")
+        built = psf.createSystem(prm, nonbondedCutoff=1.2,
+                                 constraints="HBonds", rigidWater=True)
+        system, pos, box = built.system, gro.positions, gro.box
+        factors = tuple(int(x) for x in args.replicate.split(","))
+        if factors != (1, 1, 1):
+            system, pos, box = replicate(system, pos, box, factors)
+        print(f"model={args.model} x{factors} atoms={system.n_atoms} "
+              f"kmax={system.kmax}")
 
-    integ = VVIntegrator(333, 10, 1, 40, 0.001)
-    integ.setMaxDrudeDistance(0.02)
-    kw = {"pair_ts": args.ts} if args.ts else {}
-    if args.no_fold14:
-        kw["fold_exc14"] = False
-    ctx = Context(system, integ, positions=pos, box=box, **kw)
+        integ = VVIntegrator(333, 10, 1, 40, 0.001)
+        integ.setMaxDrudeDistance(0.02)
+        kw = {"pair_ts": args.ts} if args.ts else {}
+        if args.no_fold14:
+            kw["fold_exc14"] = False
+        ctx = Context(system, integ, positions=pos, box=box, **kw)
     ctx.set_velocities_to_temperature(333.0)
     ctx.step(5)
     jax.block_until_ready(ctx._carry.state.pos)
