@@ -47,6 +47,8 @@ parser.add_argument("--gro", type=str, default="conf.gro")
 parser.add_argument("--psf", type=str, default="topol.psf")
 parser.add_argument("--prm", type=str, default="ff.prm")
 parser.add_argument("--cpt", type=str)
+parser.add_argument("--mesh", type=int, default=0,
+                    help="shard the step over the first N jax devices")
 
 
 def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=333, voltage=0,
@@ -155,9 +157,16 @@ def gen_simulation(gro_file, psf_file, prm_file, dt=0.001, T=333, voltage=0,
 
 if __name__ == "__main__":
     args = parser.parse_args()
+    ctx_kwargs = {}
+    if args.mesh:
+        import jax
+        from openmm_velocityverlet_tpu.parallel.mesh import make_mesh
+        ctx_kwargs["mesh"] = make_mesh(jax.devices()[:args.mesh])
+        print(f"Sharding over {args.mesh} devices")
     sim = gen_simulation(gro_file=args.gro, psf_file=args.psf,
                          prm_file=args.prm, dt=args.dt, T=args.temp,
-                         voltage=args.voltage, restart=args.cpt)
+                         voltage=args.voltage, restart=args.cpt,
+                         **ctx_kwargs)
     print("Running...")
     for g, e in sim.context.group_energies().items():
         print(f"E_{g}: {e:.4f} kJ/mol")

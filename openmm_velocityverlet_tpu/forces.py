@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops import (allpairs, bonded, cmap, drude, ewald, mol_terms,
+from .ops import (allpairs, bonded, cmap, drude, ewald, gb, mol_terms,
                   nonbonded, pallas_pair, pme, term_forces, vsites)
 from .system import System
 
@@ -289,6 +289,10 @@ class ForceEvaluator:
             terms["nbthole"] = nonbonded.nbthole_energy(
                 pos, box, s.nbt_idx, s.nbt_alpha, s.nbt_coef, s.charges,
                 s.exclusions, min(0.5, s.r_cutoff))
+        if s.gb is not None:
+            # implicit solvent (oplspsffile.py:1532-1590); all-pair GB has
+            # no bonded exclusions, so it rides the grad path whole
+            terms["gb"] = gb.gb_energy(pos, jnp.asarray(s.charges), s.gb)
         if s.tt_donors.shape[0] > 0:
             terms["tt_damping"] = nonbonded.tt_damping_energy(
                 pos, box, s.tt_donors, s.tt_charges, s.tt_dipole_mask,

@@ -198,7 +198,19 @@ class OplsPsfFile:
     # -------------------------------------------------------- the builder
     def createSystem(self, params: CharmmParameterSet, nonbondedCutoff=1.2,
                      constraints="HBonds", rigidWater=True, verbose=False,
-                     ewaldErrorTolerance=5e-4, use_pme=True) -> "BuiltSystem":
+                     ewaldErrorTolerance=5e-4, use_pme=True,
+                     implicitSolvent=None, implicitSolventKappa=None,
+                     implicitSolventSaltConc=0.0, temperature=298.15,
+                     soluteDielectric=1.0, solventDielectric=78.5,
+                     gbsaModel=None, removeCMMotion=True,
+                     hydrogenMass=None) -> "BuiltSystem":
+        """implicitSolvent: None | 'HCT' | 'OBC1' | 'OBC2' (GB models,
+        reference oplspsffile.py:797-799, 1532-1590; 'GBn'/'GBn2' raise —
+        their neck-integral tables are not implemented).  The remaining GB
+        kwargs mirror the reference's semantics: kappa from salt
+        concentration (oplspsffile.py:1536-1550), ACE SASA via
+        gbsaModel='ACE', dielectrics as given.  removeCMMotion and
+        hydrogenMass mirror oplspsffile.py:1593-1610."""
         top = self.topology
         n = top.n_atoms
         b = SystemBuilder()
@@ -433,9 +445,64 @@ class OplsPsfFile:
                                      self.charges[d2], thole,
                                      -alpha1 / 1000.0, -alpha2 / 1000.0)
 
+        # ---- hydrogen-mass repartitioning (oplspsffile.py:1593-1607) ----
+        if hydrogenMass is not None:
+            def _is_real_h(m):
+                return 0.9 < m < 3.5        # excludes Drude (~0.4) and vsites
+            for (i, j) in self.bonds:
+                hi, hj = _is_real_h(b.masses[i]), _is_real_h(b.masses[j])
+                if hi == hj:
+                    continue
+                h, heavy = (i, j) if hi else (j, i)
+                transfer = float(hydrogenMass) - b.masses[h]
+                b.masses[heavy] -= transfer
+                b.masses[h] = float(hydrogenMass)
+
+        b.remove_cm_motion = bool(removeCMMotion)
+
+        # ---- implicit solvent (oplspsffile.py:1532-1590) ----
+        gbdata = None
+        if implicitSolvent is not None:
+            from ..ops import gb as gb_mod
+            if gbsaModel not in ("ACE", None):
+                raise ValueError("gbsaModel must be ACE or None")
+            if implicitSolvent in ("GBn", "GBn2"):
+                raise NotImplementedError(
+                    "GBn/GBn2 neck-integral tables are not implemented; "
+                    "use HCT, OBC1 or OBC2")
+            models = {"HCT": gb_mod.GB_HCT, "OBC1": gb_mod.GB_OBC1,
+                      "OBC2": gb_mod.GB_OBC2}
+            if implicitSolvent not in models:
+                raise ValueError(
+                    f"implicitSolvent must be one of "
+                    f"{sorted(models)} or GBn/GBn2, got {implicitSolvent!r}")
+            if use_pme:
+                raise ValueError(
+                    "Illegal nonbonded method for use with GBSA "
+                    "(oplspsffile.py:1585-1586) — build with use_pme=False")
+            if implicitSolventKappa is None:
+                if implicitSolventSaltConc > 0:
+                    # sander/pmemd conversion (oplspsffile.py:1541-1550):
+                    # 1/sqrt(eps0 kB / (2 NA q^2 1e3)), x0.73 ion exclusion,
+                    # x10 to 1/nm
+                    implicitSolventKappa = 7.3 * 50.33355 * math.sqrt(
+                        implicitSolventSaltConc / solventDielectric
+                        / temperature)
+                else:
+                    implicitSolventKappa = 0.0
+            gbdata = gb_mod.build_gb_data(
+                b.masses, self.bonds, models[implicitSolvent],
+                solute_dielectric=soluteDielectric,
+                solvent_dielectric=solventDielectric,
+                kappa=implicitSolventKappa, sasa=(gbsaModel == "ACE"))
+            # NoCutoff semantics: no periodic LJ tail correction
+            b.use_dispersion_correction = False
+
         box = (self.box if self.box is not None
                else np.array([3.0, 3.0, 3.0]))
         system = b.finalize(box, r_cutoff=nonbondedCutoff, use_pme=use_pme)
+        if gbdata is not None:
+            system = system.replace(gb=gbdata)
         return BuiltSystem(system=system, builder=b, topology=top, psf=self)
 
     def _build_exclusion_lists(self):

@@ -33,6 +33,10 @@ def replicate(system: System, positions, box, factors=(1, 1, 2),
     k = fx * fy * fz
     if k == 1:
         return system, np.asarray(positions), np.asarray(box)
+    if system.gb is not None:
+        raise NotImplementedError(
+            "replicating implicit-solvent (GB) systems is not supported"
+            " — GB is a non-periodic model")
     n = system.n_atoms
     m = system.n_molecules
     box = np.asarray(box, np.float64).reshape(3)

@@ -137,6 +137,10 @@ class System:
     cmap_coeffs: jnp.ndarray     # (M,Rmax,Rmax,4,4) f32
     cmap_res: jnp.ndarray        # (M,) i32 true grid resolution per map
 
+    # ---- implicit solvent (ops/gb.py; oplspsffile.py:1532-1590) ----
+    # None, or a gb.GBData pytree (per-atom radii + model config)
+    gb: Optional[object] = None
+
     # ---- nonbonded method parameters ----
     r_cutoff: float = struct.field(pytree_node=False, default=1.2)
     ewald_beta: float = struct.field(pytree_node=False, default=0.0)  # 0 => plain cutoff
@@ -225,6 +229,10 @@ def pad_system(system: System, n_pad: int) -> System:
     extra = int(n_pad) - n
     if extra <= 0:
         return system
+    if system.gb is not None:
+        raise NotImplementedError(
+            "mesh padding of implicit-solvent (GB) systems is not supported"
+            " — GB is a non-periodic model (oplspsffile.py:1585-1586)")
     d = {f.name: getattr(system, f.name)
          for f in system.__dataclass_fields__.values()}
 

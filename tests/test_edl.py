@@ -6,6 +6,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 from openmm_velocityverlet_tpu import Context, SystemBuilder, VVIntegrator
 from openmm_velocityverlet_tpu.ops import external
@@ -147,16 +148,19 @@ def test_mirror_image_exclusions():
     assert added_exn == [(11, 12, 0.25, 0.1, 0.0)]
 
 
-def test_synthesized_edl_model_runs():
+@pytest.mark.parametrize("mesh_devices", [0, 2])
+def test_synthesized_edl_model_runs(mesh_devices, tmp_path):
     """The EDL model generator (tools/make_edl_model.py) produces a
     gro/psf/prm triple that run-edl.py's builder consumes: finite group
-    energies and exact image mirroring after real dynamics steps."""
+    energies and exact image mirroring after real dynamics steps.
+    mesh_devices=2 drives the same wiring through the public multi-chip
+    path (Context(mesh=...), incl. ghost padding of the odd atom count)."""
     import importlib.util
     import subprocess
-    import tempfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with tempfile.TemporaryDirectory() as td:
+    if True:
+        td = str(tmp_path)
         subprocess.run(
             [sys.executable, os.path.join(repo, "tools", "make_edl_model.py"),
              td, "40"], check=True, env={**os.environ,
@@ -168,11 +172,16 @@ def test_synthesized_edl_model_runs():
         sys.argv = ["run-edl.py"]
         cwd = os.getcwd()
         os.chdir(td)
+        kwargs = {}
+        if mesh_devices:
+            import jax
+            from openmm_velocityverlet_tpu.parallel.mesh import make_mesh
+            kwargs["mesh"] = make_mesh(jax.devices()[:mesh_devices])
         try:
             spec.loader.exec_module(runedl)
             sim = runedl.gen_simulation(
                 os.path.join(td, "conf.gro"), os.path.join(td, "topol.psf"),
-                os.path.join(td, "ff.prm"), voltage=1.0)
+                os.path.join(td, "ff.prm"), voltage=1.0, **kwargs)
         finally:
             sys.argv = argv0
             os.chdir(cwd)
