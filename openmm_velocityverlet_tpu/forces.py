@@ -337,11 +337,12 @@ class ForceEvaluator:
                     self.pair_tables, s.ewald_beta, s.r_cutoff,
                     self.pair_ts, self.band_w, cache=pair_cache,
                     want_energy=want_energy,
-                    interpret=self.pallas_interpret)
+                    interpret=self.pallas_interpret, r_switch=s.r_switch)
             e_lj, e_coul_dir, e_corr, f_direct = \
                 pallas_pair.residual_adjustment(
                     pos, box, charges_j, self.pair_tables, s.ewald_beta,
-                    s.r_cutoff, e_lj, e_coul_dir, e_corr, f_direct)
+                    s.r_cutoff, e_lj, e_coul_dir, e_corr, f_direct,
+                    r_switch=s.r_switch)
             cov_bad = pallas_pair.band_coverage_bad(
                 pos, box, pair_cache, self.pair_ts, self.band_w,
                 s.r_cutoff)
@@ -353,12 +354,13 @@ class ForceEvaluator:
                     band_w=self.band_w, want_energy=want_energy,
                     cache=pair_cache, with_flag=True, mode=self.pair_mode,
                     plist_cap=self.plist_cap, skin=self.skin,
-                    plist_sort=self.plist_sort)
+                    plist_sort=self.plist_sort, r_switch=s.r_switch)
         else:
             e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
                 allpairs.direct_space_dense(
                     pos, box, jnp.asarray(s.charges), self.pair_tables,
-                    s.ewald_beta, s.r_cutoff, row_block=self.row_block)
+                    s.ewald_beta, s.r_cutoff, row_block=self.row_block,
+                    r_switch=s.r_switch)
 
         (e_smooth, terms), grad_smooth = jax.value_and_grad(
             self._smooth_energy, has_aux=True)(pos, box)
@@ -387,7 +389,8 @@ class ForceEvaluator:
                 s.charges, s.ewald_beta, box)
         if s.use_dispersion_correction:
             terms["lj_lrc"] = nonbonded.dispersion_correction(
-                box, s.disp_coef_a2, s.disp_coef_b, s.r_cutoff)
+                box, s.disp_coef_a2, s.disp_coef_b, s.r_cutoff,
+                r_switch=s.r_switch)
 
         forces = f_direct + f_terms - grad_smooth
         # externals with hand-written forces (full-N masked elementwise; the

@@ -64,6 +64,7 @@ class SystemBuilder:
         self.ewald_tolerance = 5e-4
         self.use_pme = True
         self.use_dispersion_correction = True
+        self.r_switch = 0.0
         self.remove_cm_motion = True
         self.extra_molecule_links: list = []  # e.g. run-edl fake bonds
         self.cmap_terms: list = []     # (8-tuple atoms, map index)
@@ -396,7 +397,8 @@ class SystemBuilder:
             particle_mol_id=np.asarray(mol_id, np.int32),
             mol_masses=farr(mol_mass), mol_inv_masses=farr(mol_inv_mass),
             mol_table=mol_table,
-            r_cutoff=self.r_cutoff, ewald_beta=float(beta), kmax=tuple(kmax),
+            r_cutoff=self.r_cutoff, r_switch=float(self.r_switch),
+            ewald_beta=float(beta), kmax=tuple(kmax),
             use_dispersion_correction=self.use_dispersion_correction,
             has_cm_motion_remover=self.remove_cm_motion,
         )

@@ -203,7 +203,9 @@ class OplsPsfFile:
                      implicitSolventSaltConc=0.0, temperature=298.15,
                      soluteDielectric=1.0, solventDielectric=78.5,
                      gbsaModel=None, removeCMMotion=True,
-                     hydrogenMass=None) -> "BuiltSystem":
+                     hydrogenMass=None, flexibleConstraints=True,
+                     switchDistance=0.0,
+                     nonbondedMethod=None) -> "BuiltSystem":
         """implicitSolvent: None | 'HCT' | 'OBC1' | 'OBC2' (GB models,
         reference oplspsffile.py:797-799, 1532-1590; 'GBn'/'GBn2' raise —
         their neck-integral tables are not implemented).  The remaining GB
@@ -211,10 +213,37 @@ class OplsPsfFile:
         concentration (oplspsffile.py:1536-1550), ACE SASA via
         gbsaModel='ACE', dielectrics as given.  removeCMMotion and
         hydrogenMass mirror oplspsffile.py:1593-1610."""
+        # nonbondedMethod (reference createSystem, oplspsffile.py:792):
+        # OpenMM's enum mapped onto this engine's reciprocal-space choice.
+        # PME/Ewald -> Ewald electrostatics (Context's recip= picks FFT PME
+        # or exact-k); NoCutoff/CutoffPeriodic/CutoffNonPeriodic -> plain
+        # cutoff Coulomb (beta = 0).  use_pme= remains the low-level knob.
+        if nonbondedMethod is not None:
+            methods = {"PME": True, "Ewald": True, "LJPME": None,
+                       "NoCutoff": False, "CutoffPeriodic": False,
+                       "CutoffNonPeriodic": False}
+            if nonbondedMethod not in methods:
+                raise ValueError(
+                    f"nonbondedMethod must be one of {sorted(methods)}, "
+                    f"got {nonbondedMethod!r}")
+            if methods[nonbondedMethod] is None:
+                raise NotImplementedError(
+                    "LJPME is not implemented (no reference workload "
+                    "uses it)")
+            use_pme = methods[nonbondedMethod]
         top = self.topology
         n = top.n_atoms
         b = SystemBuilder()
         b.ewald_tolerance = ewaldErrorTolerance
+        # LJ switching function (oplspsffile.py:1335-1345, with the
+        # reference's validation errors)
+        if switchDistance:
+            if switchDistance >= nonbondedCutoff:
+                raise ValueError(
+                    "switchDistance is too large compared to the cutoff!")
+            if switchDistance < 0:
+                raise ValueError("switchDistance must be non-negative!")
+            b.r_switch = float(switchDistance)
 
         for i in range(n):
             b.add_particle(self.masses[i], charge=self.charges[i])
@@ -266,12 +295,19 @@ class OplsPsfFile:
                             (1.0, -1.0, 0.0), (0.0, -1.0, 1.0), (r, 0.0, 0.0))
 
         # ---- bonded terms ----
+        # flexibleConstraints=True (the reference default) KEEPS the spring
+        # terms of constrained DOF (oplspsffile.py:1000-1008): with the
+        # constraint exactly satisfied they contribute ~zero energy and
+        # their along-bond forces are projected away by RATTLE, but the
+        # reported bond energy at arbitrary configurations matches OpenMM.
         for (i, j) in self.bonds:
-            if constraints is not None and (
-                    _element_is_h(self.masses[i]) or _element_is_h(self.masses[j])):
-                continue
-            if (rigidWater and is_water_bond(i, j)):
-                continue
+            if not flexibleConstraints:
+                if constraints is not None and (
+                        _element_is_h(self.masses[i])
+                        or _element_is_h(self.masses[j])):
+                    continue
+                if (rigidWater and is_water_bond(i, j)):
+                    continue
             k, req = params.bond(top.atom_types[i], top.atom_types[j])
             b.add_bond(i, j, req * _LEN, 2.0 * k * _BOND_K)
 
@@ -287,6 +323,9 @@ class OplsPsfFile:
                 d = math.sqrt(l1 * l1 + l2 * l2
                               - 2 * l1 * l2 * math.cos(th0 * DEGREE_TO_RAD))
                 b.add_constraint(i, k3, d)
+                if flexibleConstraints:     # oplspsffile.py:1055-1058
+                    b.add_angle(i, j, k3, th0 * DEGREE_TO_RAD,
+                                2.0 * ka * _ANGLE_K)
             else:
                 b.add_angle(i, j, k3, th0 * DEGREE_TO_RAD, 2.0 * ka * _ANGLE_K)
             if ub is not None:

@@ -233,8 +233,25 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
     return out
 
 
+def lj_switch(e_lj, f_lj, r, inv_r, r_switch, r_cutoff):
+    """OpenMM switching function on the LJ terms (NonbondedForce /
+    CustomNonbondedForce semantics, oplspsffile.py:1201-1211, 1335-1345):
+    E *= S(r), S = 1 - 10x^3 + 15x^4 - 6x^5, x = (r-rs)/(rc-rs) clipped to
+    [0,1]; the force scalar (f = -dE/dr / r convention) becomes
+    S*f - E*dS/dr/r.  r_switch is static; 0 disables at trace time.
+    Exceptions (1-4) stay unswitched, as in OpenMM."""
+    if not r_switch:
+        return e_lj, f_lj
+    inv_w = 1.0 / (r_cutoff - r_switch)
+    x = jnp.clip((r - r_switch) * inv_w, 0.0, 1.0)
+    x2 = x * x
+    s = 1.0 + x * x2 * (-10.0 + x * (15.0 - 6.0 * x))
+    ds = x2 * (-30.0 + x * (60.0 - 30.0 * x)) * inv_w
+    return e_lj * s, f_lj * s - e_lj * ds * inv_r
+
+
 def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask,
-                exc14_mask=None, a14=None, b14=None):
+                exc14_mask=None, a14=None, b14=None, r_switch=0.0):
     """Shared LJ + Ewald-direct + exclusion-correction math.
 
     direct pairs:   E = a^2/r^12 - b/r^6 + qq erfc(beta r)/r
@@ -256,6 +273,7 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask,
     inv_r12 = inv_r6 * inv_r6
     e_lj = a * a * inv_r12 - b * inv_r6
     f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2_lj
+    e_lj, f_lj = lj_switch(e_lj, f_lj, r, inv_r, r_switch, r_cutoff)
     br = beta * r
     # erfc via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7), sharing its exp
     # with the Gaussian force term — one transcendental per pair instead of
@@ -294,7 +312,8 @@ def _pair_terms(r2, qq, a, b, beta, r_cutoff, direct_mask, corr_mask,
 
 
 def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
-                       row_block: int = 1024, lj_mode: str = "einsum"):
+                       row_block: int = 1024, lj_mode: str = "einsum",
+                       r_switch: float = 0.0):
     """All-pairs LJ + Ewald-direct + exclusion-correction sweep.
 
     lj_mode: "einsum" computes pair LJ parameters by one-hot contraction
@@ -401,7 +420,7 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
         e_lj, e_coul, e_corr, e14c, e14l, f_s = _pair_terms(
             r2, qq, a, b, beta, r_cutoff,
             direct_mask=alive & ~excl, corr_mask=alive & excl,
-            exc14_mask=exc14, a14=a14, b14=b14)
+            exc14_mask=exc14, a14=a14, b14=b14, r_switch=r_switch)
         forces = jnp.sum(f_s[..., None] * dr, axis=1)                 # (B,3)
         return (forces, jnp.sum(e_lj), jnp.sum(e_coul), jnp.sum(e_corr),
                 jnp.sum(e14c), jnp.sum(e14l))
@@ -447,7 +466,7 @@ def direct_space_dense(pos, box, charges, tables, beta, r_cutoff,
             corr_mask=ones)
         e_lj_d, e_coul_d, _, _, _, f_direct_only = _pair_terms(
             r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
-            corr_mask=jnp.zeros_like(ones))
+            corr_mask=jnp.zeros_like(ones), r_switch=r_switch)
         e_lj = e_lj - jnp.sum(e_lj_d)
         e_coul = e_coul - jnp.sum(e_coul_d)
         e_corr = e_corr + jnp.sum(e_corr_r)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..units import ONE_4PI_EPS0, PI
 from ..utils.pbc import minimum_image
@@ -43,14 +44,27 @@ def ewald_self_energy(charges, beta, box):
     return e_self + e_background
 
 
-def dispersion_correction(box, coef_a2, coef_b, r_cutoff):
-    """LJ long-range correction: E = 2 pi/V * (A2/(9 rc^9) - B/(3 rc^3)) with
-    A2 = sum_types Ni Nj a_ij^2, B = sum_types Ni Nj b_ij (precomputed).
-    Matches OpenMM's numeric LRC for the tabulated OPLS form."""
+def dispersion_correction(box, coef_a2, coef_b, r_cutoff, r_switch=0.0):
+    """LJ long-range correction: E = 2 pi/V * (A2 I12 - B I6) with
+    A2 = sum_types Ni Nj a_ij^2, B = sum_types Ni Nj b_ij (precomputed),
+    I12 = int_rc^inf r^-10 dr, I6 = int_rc^inf r^-4 dr.
+    Matches OpenMM's numeric LRC for the tabulated OPLS form; with a
+    switching distance, the energy removed on [rs, rc] is added back
+    (OpenMM computes the same correction numerically):
+    I += int_rs^rc (1 - S(r)) r^{2-k} dr."""
     vol = box[0] * box[1] * box[2]
     rc3 = r_cutoff ** 3
     rc9 = rc3 ** 3
-    return 2.0 * PI / vol * (coef_a2 / (9.0 * rc9) - coef_b / (3.0 * rc3))
+    i12 = 1.0 / (9.0 * rc9)
+    i6 = 1.0 / (3.0 * rc3)
+    if r_switch:
+        # static quadrature at build/trace time (host floats)
+        r = np.linspace(float(r_switch), float(r_cutoff), 2049)
+        x = (r - float(r_switch)) / (float(r_cutoff) - float(r_switch))
+        one_m_s = x ** 3 * (10.0 - 15.0 * x + 6.0 * x * x)
+        i12 = i12 + float(np.trapezoid(one_m_s * r ** -10, r))
+        i6 = i6 + float(np.trapezoid(one_m_s * r ** -4, r))
+    return 2.0 * PI / vol * (coef_a2 * i12 - coef_b * i6)
 
 
 def tt_damping_energy(pos, box, donors, tt_charges, dipole_mask, exclusions,

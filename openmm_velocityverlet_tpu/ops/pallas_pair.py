@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..units import ONE_4PI_EPS0
+from .allpairs import lj_switch
 
 _SQRT_PI = 1.7724538509055159
 MAX_EXCL_OFFSET = 31
@@ -390,7 +391,7 @@ def _onehot_dot(table_f32, onehot, exact_01=False):
 def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                  grows_ref, posT_ref, qT_ref, onehotT_ref, bitsT_ref,
                  gonehotT_ref, box_ref, fout_ref, *, n, n_pad, tm, tn, beta,
-                 r_cutoff, t_dim, use_groups):
+                 r_cutoff, t_dim, use_groups, r_switch=0.0):
     i = pl.program_id(0)
     row0 = i * tm
     row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
@@ -455,6 +456,7 @@ def _pair_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         inv_r12 = inv_r6 * inv_r6
         e_lj = a * a * inv_r12 - b * inv_r6
         f_lj = (12.0 * a * a * inv_r12 - 6.0 * b * inv_r6) * inv_r2_lj
+        e_lj, f_lj = lj_switch(e_lj, f_lj, r, inv_r, r_switch, r_cutoff)
         br = beta * r
         expm = jnp.exp(-br * br)
         t = 1.0 / (1.0 + 0.3275911 * br)
@@ -499,7 +501,7 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                      gonehotT_ref, box_ref, row_off_ref, rows_ref,
                      colacc_ref, *, n, ts, beta, r_cutoff, t_dim, use_groups,
                      mode, want_energy, has14, pcoef, full_sweep=False,
-                     n_tiles_g=0):
+                     n_tiles_g=0, r_switch=0.0):
     """Upper-triangle tile sweep: Newton's third law halves the pair work.
 
     TPU grid execution is sequential, so output blocks revisited across the
@@ -652,6 +654,8 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
         b6 = b * inv_r6
         e_lj = a12 - b6
         f_lj = (12.0 * a12 - 6.0 * b6) * inv_r2_lj
+        e_lj, f_lj = lj_switch(e_lj, f_lj, r2s * inv_r, inv_r, r_switch,
+                               r_cutoff)
         zero = jnp.zeros_like(r2)
         if want_energy:
             # exact erfc path (energy queries only; A&S 7.1.26)
@@ -748,7 +752,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
               posT, qT, onehotT, bitsT, bits14T, oidT, gonehotT, box, beta,
               r_cutoff, ts, n_real, t_dim, has14, interpret,
               want_energy=True, full_sweep=False, row_off=None,
-              n_tiles_g=0):
+              n_tiles_g=0, r_switch=0.0):
     n_pad = posT.shape[1]
     t2 = ab.shape[1]
     use_groups = gonehotT.shape[0] > 1
@@ -757,7 +761,7 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
         t_dim=t_dim, use_groups=use_groups, mode=mode,
         want_energy=want_energy, has14=has14,
         pcoef=_pfit_scaled(float(beta), float(r_cutoff)), full_sweep=full_sweep,
-        n_tiles_g=n_tiles_g)
+        n_tiles_g=n_tiles_g, r_switch=r_switch)
     if row_off is None:
         row_off = jnp.zeros((1,), jnp.int32)
     else:
@@ -812,31 +816,35 @@ def _tri_call(mode, grid, pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows,
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "ts", "n_real",
                                     "band_w", "t_dim", "has14",
-                                    "want_energy", "interpret", "full_sweep"))
+                                    "want_energy", "interpret", "full_sweep",
+                                    "r_switch"))
 def _run_tri(pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT,
              onehotT, bitsT, bits14T, oidT, gonehotT, box, beta, r_cutoff,
              ts, n_real, t_dim, has14, band_w=0,
-             want_energy=True, interpret=False, full_sweep=False):
+             want_energy=True, interpret=False, full_sweep=False,
+             r_switch=0.0):
     n_pad = posT.shape[1]
     n_tiles = n_pad // ts
     banded = band_eligible(n_pad, ts, band_w)
     args = (pos2d, q2d, ab, bits2d, bits14_2d, oid2d, grows, posT, qT,
             onehotT, bitsT, bits14T, oidT, gonehotT, box, beta, r_cutoff,
             ts, n_real, t_dim, has14, interpret)
+    kw_switch = dict(r_switch=r_switch)
     if full_sweep:
         # sorted-layout sweep over EVERY unordered tile pair (the fallback
         # branch when the band is too narrow for the current configuration)
         w_full = n_tiles // 2
         return _tri_call("bandall", (n_tiles, w_full + 1), *args,
-                         want_energy=want_energy, full_sweep=True)
+                         want_energy=want_energy, full_sweep=True,
+                         **kw_switch)
     if banded:
         return _tri_call("bandall", (n_tiles, band_w + 1), *args,
-                         want_energy=want_energy)
+                         want_energy=want_energy, **kw_switch)
     rows_b, col_b = _tri_call("band", (n_tiles, min(2, n_tiles)), *args,
-                              want_energy=want_energy)
+                              want_energy=want_energy, **kw_switch)
     if n_tiles > 2:
         rows_f, col_f = _tri_call("far", (n_tiles, n_tiles), *args,
-                                  want_energy=want_energy)
+                                  want_energy=want_energy, **kw_switch)
         rows_b = rows_b + rows_f
         col_b = col_b + col_f
     return rows_b, col_b
@@ -998,7 +1006,7 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
                   bits_rows_ref, oid_rows_ref, grows_ref, posT_ref, qT_ref,
                   onehotT_ref, bitsT_ref, oidT_ref, gonehotT_ref, box_ref,
                   rows_ref, colacc_ref, *, ts, beta, r_cutoff, t_dim,
-                  use_groups, want_energy, pcoef):
+                  use_groups, want_energy, pcoef, r_switch=0.0):
     """AABB-culled tile-pair-list sweep (mode="plist" of the sorted-layout
     family; see _pair_tri_kernel for the shared math and layout doc).
 
@@ -1085,6 +1093,8 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
         b6 = b * inv_r6
         e_lj = a12 - b6
         f_lj = (12.0 * a12 - 6.0 * b6) * inv_r2_lj
+        e_lj, f_lj = lj_switch(e_lj, f_lj, r2s * inv_r, inv_r, r_switch,
+                               r_cutoff)
         zero = jnp.zeros_like(r2)
         if want_energy:
             r = r2s * inv_r
@@ -1166,10 +1176,12 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "ts", "n_real",
-                                    "t_dim", "want_energy", "interpret"))
+                                    "t_dim", "want_energy", "interpret",
+                                    "r_switch"))
 def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
                onehotT, bitsT, oidT, gonehotT, box, beta, r_cutoff, ts,
-               n_real, t_dim, want_energy=False, interpret=False):
+               n_real, t_dim, want_energy=False, interpret=False,
+               r_switch=0.0):
     n_pad = posT.shape[1]
     n_tiles = n_pad // ts
     cap = plist.shape[0]
@@ -1177,7 +1189,7 @@ def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
     kernel = functools.partial(
         _plist_kernel, ts=ts, beta=beta, r_cutoff=r_cutoff, t_dim=t_dim,
         use_groups=use_groups, want_energy=want_energy,
-        pcoef=_pfit_scaled(float(beta), float(r_cutoff)))
+        pcoef=_pfit_scaled(float(beta), float(r_cutoff)), r_switch=r_switch)
     def _row(p, pref):
         return (pref[p] >> 17, 0)
 
@@ -1227,16 +1239,18 @@ def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
 
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "tm", "tn", "n_real",
-                                    "interpret"))
+                                    "interpret", "r_switch"))
 def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
-         box, beta, r_cutoff, tm, tn, n_real, interpret=False):
+         box, beta, r_cutoff, tm, tn, n_real, interpret=False,
+         r_switch=0.0):
     n_pad = posT.shape[1]
     t2 = ab.shape[1]
     use_groups = gonehotT.shape[0] > 1
     n_tiles = n_pad // tm
     kernel = functools.partial(
         _pair_kernel, n=n_real, n_pad=n_pad, tm=tm, tn=tn, beta=beta,
-        r_cutoff=r_cutoff, t_dim=t2 // 2, use_groups=use_groups)
+        r_cutoff=r_cutoff, t_dim=t2 // 2, use_groups=use_groups,
+        r_switch=r_switch)
     fout = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1267,7 +1281,7 @@ def _run(pos2d, q2d, ab, bits2d, grows, posT, qT, onehotT, bitsT, gonehotT,
 
 
 def residual_adjustment(pos, box, charges, tables, beta, r_cutoff,
-                        e_lj, e_coul, e_corr, forces):
+                        e_lj, e_coul, e_corr, forces, r_switch=0.0):
     """Exclusion pairs whose index offset exceeds the kernels' 31-bit
     window, handled exactly as in allpairs (tiny list): subtract their
     direct-space contribution, add the reciprocal correction.  Shared by
@@ -1297,7 +1311,7 @@ def residual_adjustment(pos, box, charges, tables, beta, r_cutoff,
         direct_mask=jnp.zeros_like(ones), corr_mask=ones)
     e_lj_d, e_coul_d, _, _, _, f_direct_only = ap._pair_terms(
         r2, qq, a, b, beta, r_cutoff, direct_mask=ones,
-        corr_mask=jnp.zeros_like(ones))
+        corr_mask=jnp.zeros_like(ones), r_switch=r_switch)
     e_lj = e_lj - jnp.sum(e_lj_d)
     e_coul = e_coul - jnp.sum(e_coul_d)
     e_corr = e_corr + jnp.sum(e_corr_r)
@@ -1309,7 +1323,8 @@ def residual_adjustment(pos, box, charges, tables, beta, r_cutoff,
 def banded_sweep_sharded(mesh, axis_name, pos, box, charges, tables,
                          beta, r_cutoff, ts, band_w,
                          cache: "PairCache | None" = None,
-                         want_energy: bool = True, interpret: bool = False):
+                         want_energy: bool = True, interpret: bool = False,
+                         r_switch: float = 0.0):
     """The production z-banded pair sweep sharded over row tiles of a
     jax.sharding.Mesh: each device runs the SAME Mosaic kernel over its
     n_tiles/n_dev row tiles (row blocks + per-row statics sharded on the
@@ -1362,7 +1377,8 @@ def banded_sweep_sharded(mesh, axis_name, pos, box, charges, tables,
             bits_l, bits14_l, oid_l, grows_l, posT, qT, onehotT, bitsT,
             bits14T, oidT, gonehotT, boxs, float(beta), float(r_cutoff),
             ts, n, t_dim, has14, interpret, want_energy=want_energy,
-            row_off=row_off[None], n_tiles_g=n_tiles_real)
+            row_off=row_off[None], n_tiles_g=n_tiles_real,
+            r_switch=r_switch)
         colacc = jax.lax.psum(colacc, axis_name)
         return rows, colacc
 
@@ -1389,7 +1405,7 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                         cache: "PairCache | None" = None,
                         with_flag: bool = False, mode: str = "band",
                         plist_cap: int = 0, skin: float = 0.1,
-                        plist_sort: str = "morton"):
+                        plist_sort: str = "morton", r_switch: float = 0.0):
     """Drop-in replacement for allpairs.direct_space_dense on TPU.
 
     symmetric=True runs the upper-triangle kernel (half the pair work via
@@ -1482,7 +1498,8 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                     oidT, gonehotT, box_arr)
         tri_kw = dict(beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
                       n_real=n, t_dim=t_dim, has14=has14,
-                      want_energy=want_energy, interpret=interpret)
+                      want_energy=want_energy, interpret=interpret,
+                      r_switch=float(r_switch))
         if use_plist:
             if has14:
                 raise NotImplementedError(
@@ -1500,7 +1517,7 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                     a[8], a[9], a[10], a[12], a[13], a[14],
                     beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
                     n_real=n, t_dim=t_dim, want_energy=want_energy,
-                    interpret=interpret),
+                    interpret=interpret, r_switch=float(r_switch)),
                 tri_args)
             f_full = rows[:, :3] + colacc[:3, :].T
             forces = f_full[invperm][:n]
@@ -1531,7 +1548,8 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                 "kernel-handled 1-4 exceptions require the symmetric sweep")
         fout = _run(pos2d, q2d, ab, bits2d, grows, posT, qT,
                     onehotT, bitsT, gonehotT, box_arr,
-                    float(beta), float(r_cutoff), tm, tn, n, interpret)
+                    float(beta), float(r_cutoff), tm, tn, n, interpret,
+                    r_switch=float(r_switch))
         forces = fout[:n, :3]
         e_lj = 0.5 * jnp.sum(fout[:, 3])
         e_coul = 0.5 * jnp.sum(fout[:, 4])
@@ -1541,7 +1559,7 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
     # residual excluded pairs handled exactly as in allpairs (tiny list)
     e_lj, e_coul, e_corr, forces = residual_adjustment(
         pos, box, charges, tables, beta, r_cutoff,
-        e_lj, e_coul, e_corr, forces)
+        e_lj, e_coul, e_corr, forces, r_switch=r_switch)
     if with_flag:
         # device bool: this call took the full-sweep fallback; the caller
         # should rebuild its sort cache before the next step

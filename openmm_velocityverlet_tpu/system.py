@@ -143,6 +143,8 @@ class System:
 
     # ---- nonbonded method parameters ----
     r_cutoff: float = struct.field(pytree_node=False, default=1.2)
+    # LJ switching distance (0 = off); OpenMM S(r) on [r_switch, r_cutoff]
+    r_switch: float = struct.field(pytree_node=False, default=0.0)
     ewald_beta: float = struct.field(pytree_node=False, default=0.0)  # 0 => plain cutoff
     kmax: tuple = struct.field(pytree_node=False, default=(0, 0, 0))
     use_dispersion_correction: bool = struct.field(pytree_node=False, default=True)

@@ -384,17 +384,16 @@ def independent_assignment_check(model_dir, system):
     close(np.asarray(s.charges)[:n], q, "charges")
     close(np.asarray(s.masses)[:n], m, "masses")
 
-    is_h = (m > 0) & (m < 3.5)
     real_bonds = [(i, j) for (i, j) in terms["NBOND"]
                   if name[i][0] != "D" and name[j][0] != "D"
                   and not name[i].startswith("LP") and name[i] != "OM"
                   and not name[j].startswith("LP") and name[j] != "OM"]
 
-    # bonds: unconstrained real bonds with K/b0 from the text tables
+    # bonds: ALL real bonds keep spring terms — flexibleConstraints=True is
+    # the build default (oplspsffile.py:1000-1008), so HBond-constrained
+    # bonds carry their K/b0 alongside the constraint
     want = {}
     for (i, j) in real_bonds:
-        if is_h[i] or is_h[j]:
-            continue                       # HBond-constrained
         kb, b0 = prm["bond"][(min(typ[i], typ[j]), max(typ[i], typ[j]))]
         want[(min(i, j), max(i, j))] = (2 * kb * kcal / 0.01, b0 * 0.1)
     got = {}
