@@ -165,6 +165,12 @@ def main():
     }
     with open("/tmp/edl_closure.json", "w") as f:
         json.dump(out, f, indent=1)
+    # full profiles for the judge/plots: z, rho_q(z), E_tot(z), phi(z)
+    with open("/tmp/edl_closure_profile.txt", "w") as f:
+        f.write("# z_nm rho_q_e_nm3 E_tot_V_nm phi_V\n")
+        for k in range(nbin):
+            f.write(f"{zc[k]:.4f} {rho[k]:.6f} {e_tot[k]:.6f} "
+                    f"{phi[k]:.6f}\n")
     print(json.dumps(out))
 
 
