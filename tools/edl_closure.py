@@ -120,17 +120,17 @@ def main():
 
     def region(zs):
         # circular mean/extent of the slab's z values, then the bin-center
-        # mask of that interval
+        # mask of that interval (+ the interval itself for atom windows)
         th = zs * (2 * np.pi / lz)
         c = np.arctan2(np.sin(th).mean(), np.cos(th).mean()) * lz / (2 * np.pi)
         dev = (zs - c + 0.5 * lz) % lz - 0.5 * lz
         mid = (c + 0.5 * (dev.min() + dev.max())) % lz
         half = max(float(dev.max() - dev.min()), 0.1) / 2.0
         dd = np.abs((zc - mid + 0.5 * lz) % lz - 0.5 * lz)
-        return dd <= half
+        return dd <= half, mid, half
 
-    in_lower = region(lower_z)
-    in_upper = region(upper_z)
+    in_lower, mid_lower, half_lower = region(lower_z)
+    in_upper, _, _ = region(upper_z)
     e_lower = float(np.mean(e_tot[in_lower]))
     e_upper = float(np.mean(e_tot[in_upper]))
     e_liquid = float(np.mean(np.abs(
@@ -140,11 +140,23 @@ def main():
     drop = phi_lower - phi_upper
 
     # 3. accumulated counter charge of the lower half-cell electrode
-    # region (electrode atoms + images within 0.6 nm of the z=0 plane)
+    # region: all charges (electrode atoms + wrapped images) within
+    # 0.6 nm of the DETECTED lower electrode slab (works for both the
+    # synthesized capacitor and the real wrapped-trilayer datasets)
     pos = np.asarray(ctx.state.pos)
     zw = pos[:, 2] % lz
-    near_lower = (zw < 0.8) | (zw > lz - 0.8)
+    dd_at = np.abs((zw - mid_lower + 0.5 * lz) % lz - 0.5 * lz)
+    near_lower = dd_at <= half_lower + 0.6
     q_electrode_lower = float(q[near_lower].sum())
+
+    # 3b. Gauss's law at the lower electrode: sigma = eps0 * E in the
+    # liquid gap just past the slab edge (field inside the conductor ~ 0),
+    # C = |sigma| / V — independent of any atom-window choice
+    dd_bins = np.abs((zc - mid_lower + 0.5 * lz) % lz - 0.5 * lz)
+    gap_lo = (dd_bins > half_lower + 0.15) & (dd_bins <= half_lower + 0.55)
+    sigma_gauss = EPS0 * float(np.mean(e_tot[gap_lo]))
+    cap_gauss_uF_cm2 = abs(sigma_gauss) / voltage \
+        * 1.602176634e-19 / 1e-14 * 1e6
     cap_uF_cm2 = abs(q_electrode_lower) / voltage / area \
         * 1.602176634e-19 / 1e-14 * 1e6     # e/(V nm^2) -> uF/cm^2
 
@@ -162,6 +174,8 @@ def main():
         "image_sum_matches": bool(abs(img_sum + parent_sum) < 1e-3),
         "lower_electrode_counter_charge_e": round(q_electrode_lower, 3),
         "capacitance_uF_cm2": round(cap_uF_cm2, 3),
+        "sigma_gauss_e_nm2": round(sigma_gauss, 5),
+        "capacitance_gauss_uF_cm2": round(cap_gauss_uF_cm2, 3),
     }
     with open("/tmp/edl_closure.json", "w") as f:
         json.dump(out, f, indent=1)
