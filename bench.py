@@ -93,6 +93,8 @@ def run_edl(steps=240, dt=0.001):
 
 
 def main():
+    import jax
+    platform = jax.devices()[0].platform
     n_small, small = run_config("bulk_Im21", (1, 1, 1))
     print(f"bulk_Im21 ({n_small} atoms): {small:.2f} ns/day",
           file=sys.stderr)
@@ -102,6 +104,7 @@ def main():
         "value": round(ns_day, 2),
         "unit": "ns/day",
         "vs_baseline": round(ns_day / 100.0, 3),
+        "platform": platform,
     }
     try:
         n_edl, edl = run_edl()
