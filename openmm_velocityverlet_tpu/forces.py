@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops import (allpairs, bonded, cmap, drude, ewald, gb, mol_terms,
-                  nonbonded, pallas_pair, pme, term_forces, vsites)
+from .ops import (allpairs, bonded, cmap, drude, ewald, ewald_pallas, gb,
+                  mol_terms, nonbonded, pallas_pair, pme, term_forces, vsites)
 from .system import System
 
 
@@ -202,6 +202,14 @@ class ForceEvaluator:
             if box_hint is None:
                 raise ValueError("recip='pme' requires box_hint")
             self.pme_grid = pme.choose_grid(np.asarray(box_hint))
+        if recip == "exact_fused" and self._mesh_size > 1:
+            # the fused kernel has no shard_map wiring yet; the matmul
+            # formulation shards fine under the XLA partitioner
+            recip = "exact"
+        if (recip == "exact" and ewald_pallas.FUSED_AUTO
+                and self._mesh_size == 1
+                and jax.default_backend() != "cpu"):
+            recip = "exact_fused"
         self.recip_method = recip
 
     # -- virtual sites ----------------------------------------------------
@@ -272,6 +280,14 @@ class ForceEvaluator:
                 terms["coul_recip"] = pme.reciprocal_energy_pme(
                     pos, box, jnp.asarray(s.charges), s.ewald_beta,
                     self.pme_grid)
+            elif self.recip_method == "exact_fused":
+                # Pallas-fused exact k-sum: no (N, K)-sized HBM
+                # intermediates (ops/ewald_pallas.py); grad(pos) runs the
+                # fused force kernel via its custom_vjp
+                terms["coul_recip"] = ewald_pallas.reciprocal_energy_fused(
+                    pos, box, jnp.asarray(s.charges), s.ewald_beta,
+                    tuple(int(k) for k in s.kmax), 256,
+                    self.pallas_interpret)
             else:
                 terms["coul_recip"] = ewald.reciprocal_energy(
                     pos, box, s.charges, s.ewald_beta, s.kmax,
