@@ -142,9 +142,8 @@ class Context:
         self._carry: Optional[Carry] = None
         self._compiled = {}
         self._chunk_scalars = {}
-        self._pair_cache = None
-        self._steps_since_cache = 0
         self._rebuilds = 0
+        self._overflow_checked = 0
         if positions is not None:
             self.set_positions(positions)
         if getattr(integrator, "debug_enabled", False):
@@ -283,58 +282,31 @@ class Context:
     def step(self, n: int):
         """Advance n steps (async device dispatches, no host round-trips).
 
-        The spatial-sort pair cache is a loop-invariant argument of each
-        chunk: the host splits n at sort_refresh boundaries and chains a
-        jitted rebuild between chunks — every dispatch is async, so the
-        device never waits on the host.  Within a chunk, a coverage trip
-        runs the exact fallback sweep (correct, slower) and the next
-        chunk's entry cond rebuilds device-side."""
+        The spatial-sort pair cache lives entirely inside the device
+        program: step_n rebuilds it at every sort_refresh segment start
+        (and at entry).  Within a segment, a coverage trip runs the exact
+        fallback sweep (correct, slower), exits the segment early, and the
+        next segment start rebuilds device-side."""
         if self._carry is None:
             self._carry = self._make_carry()
-            self._pair_cache = None
-            self._steps_since_cache = 0
         ev = self.evaluator
-        if ev.uses_band and self._pair_cache is None:
-            st = self._carry.state
-            self._pair_cache = self._get_compiled("pair_cache")(
-                st.pos, st.box)
-            self._steps_since_cache = 0
-            self._rebuilds = 0
         fn = self._get_compiled("step_n")
         n = int(n)
-        rebuild_first = (ev.uses_band
-                         and self._steps_since_cache >= self.sort_refresh)
-        # cache the device scalars: a fresh host scalar costs an upload
-        # (keys: ints for n, ("b", flag) for bools — True would otherwise
-        # collide with the int key 1)
+        # cache the device scalar: a fresh host scalar costs an upload
         if n not in self._chunk_scalars:
             self._chunk_scalars[n] = jnp.asarray(n, i32)
-        bkey = ("b", rebuild_first)
-        if bkey not in self._chunk_scalars:
-            self._chunk_scalars[bkey] = jnp.asarray(rebuild_first, bool)
-        self._carry, cache = fn(self._carry, self._pair_cache,
-                                self._chunk_scalars[n],
-                                self._chunk_scalars[bkey])
+        self._carry, over = fn(self._carry, self._chunk_scalars[n])
         if ev.uses_band:
-            self._pair_cache = cache
-            # trips make the on-device segmentation data-dependent, so the
-            # host only bounds staleness: if a rebuild certainly happened,
-            # the returned cache is at most min(n, refresh) steps old
-            # (conservative — an early-trip rebuild is fresher)
-            rebuilt = rebuild_first or n > self.sort_refresh
-            if rebuilt:
-                self._steps_since_cache = min(n, self.sort_refresh)
-                self._rebuilds += 1
-                if (self._rebuilds % 8 == 0
-                        and cache.overflow is not None
-                        and bool(cache.overflow)):
-                    # safety valve (syncs, hence the 8-rebuild cadence —
-                    # frequent enough that sustained overflow costs at
-                    # most ~8*sort_refresh exact-fallback steps before
-                    # the capacity grows): sustained density growth
-                    # overflowed the candidate list and every step is
-                    # falling back to the exact full sweep — grow the
-                    # capacity and recompile.
+            self._rebuilds += 1 + (n - 1) // self.sort_refresh
+            if self._rebuilds - self._overflow_checked >= 8:
+                # safety valve (syncs, hence the 8-rebuild cadence —
+                # frequent enough that sustained overflow costs at most
+                # ~8*sort_refresh exact-fallback steps before the
+                # capacity grows): sustained density growth overflowed
+                # the candidate list and every step is falling back to
+                # the exact full sweep — grow the capacity and recompile.
+                self._overflow_checked = self._rebuilds
+                if bool(over):
                     import sys
                     old_cap = ev.plist_cap
                     ev.plist_cap = int(ev.plist_cap * 1.5) + 64
@@ -344,9 +316,6 @@ class Context:
                           f"compile pause and a step-timing change)",
                           file=sys.stderr)
                     self._compiled.clear()
-                    self._pair_cache = None
-            else:
-                self._steps_since_cache += n
         self.state = self._carry.state
 
     # ------------------------------------------------------ compiled fns
@@ -379,33 +348,44 @@ class Context:
             uses_band = ev.uses_band
             refresh = self.sort_refresh
 
-            def step_n(carry, cache, n, rebuild_first):
+            def step_n(carry, n):
                 """One device program for n steps: an outer loop over
-                cache segments rebuilds the spatial-sort cache at segment
-                starts; the inner loop treats the cache as loop-invariant
-                and ends a segment either at sort_refresh steps or EARLY,
-                right after a step whose coverage check tripped (that step
-                already ran the exact fallback sweep, so a trip costs one
-                slow step plus a rebuild — never a tail of fallback
-                steps).  Keeping the cache out of the inner carry avoids
-                ~90 us/step of XLA conditional operand copies, and doing
-                the segmenting on-device keeps ctx.step(n) a single
-                dispatch (the tunnel charges ~20-30 ms per host call)."""
+                cache segments rebuilds the spatial-sort cache at every
+                segment start; the inner loop treats the cache as
+                loop-invariant and ends a segment either at sort_refresh
+                steps or EARLY, right after a step whose coverage check
+                tripped (that step already ran the exact fallback sweep,
+                so a trip costs one slow step plus a rebuild — never a
+                tail of fallback steps).  Doing the segmenting on-device
+                keeps ctx.step(n) a single dispatch (the tunnel charges
+                ~20-30 ms per host call).
+
+                The cache is deliberately a LOOP-LOCAL of the outer body,
+                never a while-loop carry: carrying the PairCache (whose
+                packed pair list is a Mosaic scalar-prefetch operand)
+                through lax.while_loop faults the TPU at EDL scale
+                (~40k atoms / XLA while-loop buffer aliasing vs SMEM
+                prefetch; bisected in tools/debug_edl_stage2.py — the
+                identical program with the cache as a loop-local runs
+                clean).  The price is one unconditional rebuild at entry
+                (~13 ms at 19.5k atoms) per host step() call instead of
+                reusing the previous call's cache.  Returns
+                (carry, overflow_seen) — the host's safety valve polls
+                the flag instead of reading a returned cache."""
                 if not uses_band:
-                    return jax.lax.fori_loop(
-                        0, n, lambda i, c: single(c, None), carry), cache
+                    return (jax.lax.fori_loop(
+                        0, n, lambda i, c: single(c, None), carry),
+                        jnp.zeros((), bool))
 
                 def outer_cond(s):
-                    return s[2] < n
+                    return s[1] < n
 
                 def outer_body(s):
-                    carry, cache, done, first = s
-                    need = (~first) | rebuild_first | carry.cov_bad
-                    cache = jax.lax.cond(
-                        need,
-                        lambda a: ev.make_pair_cache(a[0], a[1]),
-                        lambda a: cache,
-                        (carry.state.pos, carry.state.box))
+                    carry, done, over = s
+                    cache = ev.make_pair_cache(carry.state.pos,
+                                               carry.state.box)
+                    if cache.overflow is not None:
+                        over = over | cache.overflow
                     carry = carry.replace(cov_bad=jnp.zeros((), bool))
                     lim = jnp.minimum(done + refresh, n)
 
@@ -417,15 +397,15 @@ class Context:
 
                     carry, done = jax.lax.while_loop(
                         inner_cond, inner_body, (carry, done))
-                    return (carry, cache, done, jnp.zeros((), bool))
+                    return (carry, done, over)
 
-                carry, cache, _, _ = jax.lax.while_loop(
+                carry, _, over = jax.lax.while_loop(
                     outer_cond, outer_body,
-                    (carry, cache, jnp.zeros((), i32), jnp.ones((), bool)))
-                return carry, cache
+                    (carry, jnp.zeros((), i32), jnp.zeros((), bool)))
+                return carry, over
             if self.mesh is not None:
                 # explicit shardings: atom-axis arrays of the carry
-                # sharded, cache/scalars replicated; XLA propagates the
+                # sharded, scalars replicated; XLA propagates the
                 # layout through the fused step and inserts the psum /
                 # all-gather collectives over ICI
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -434,7 +414,7 @@ class Context:
                 cs = carry_shardings(self._make_carry(), self.mesh,
                                      self.mesh_axis,
                                      n_atoms=self.system.n_atoms)
-                fn = jax.jit(step_n, in_shardings=(cs, repl, repl, repl),
+                fn = jax.jit(step_n, in_shardings=(cs, repl),
                              out_shardings=(cs, repl))
             else:
                 fn = jax.jit(step_n)

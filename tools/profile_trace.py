@@ -91,8 +91,7 @@ def main():
 
     # ---- HLO source attribution ----
     hlo = ctx._compiled["step_n"].lower(
-        ctx._carry, ctx._pair_cache, ctx._chunk_scalars[args.steps],
-        ctx._chunk_scalars[("b", False)]).compile().as_text()
+        ctx._carry, ctx._chunk_scalars[args.steps]).compile().as_text()
     if args.dump_hlo:
         with open(args.dump_hlo, "w") as f:
             f.write(hlo)
