@@ -26,6 +26,52 @@ from .ops import (allpairs, bonded, cmap, drude, ewald, ewald_pallas, gb,
 from .system import System
 
 
+def _drop_constraint_null_terms(system):
+    """System copy with constraint-null spring terms removed, or None if
+    there are none.
+
+    A bond/Urey-Bradley spring on a constrained pair, or an angle spring
+    whose three internal distances are all constrained (rigid water), acts
+    only along directions the constraint solver projects away: SHAKE holds
+    the coordinate fixed and RATTLE removes the along-constraint velocity
+    component after every kick, so dropping the term from the FORCE path is
+    exactly equivalent dynamics.  These terms exist because the reference
+    defaults to flexibleConstraints=True (oplspsffile.py:1000-1008), which
+    is about reported energies, not dynamics — energy queries keep them."""
+    cons = np.asarray(system.constraints)
+    if cons.shape[0] == 0:
+        return None
+    cset = {(int(min(i, j)), int(max(i, j))) for i, j in cons.tolist()}
+
+    def pair_null(tbl):
+        t = np.asarray(tbl).reshape(-1, 2)
+        return np.array([(min(i, j), max(i, j)) in cset
+                         for i, j in t.tolist()], bool)
+
+    null_b = pair_null(system.bonds) if system.bonds.shape[0] else \
+        np.zeros(0, bool)
+    null_u = pair_null(system.ub_bonds) if system.ub_bonds.shape[0] else \
+        np.zeros(0, bool)
+    ang = np.asarray(system.angles).reshape(-1, 3)
+    null_a = np.array(
+        [((min(i, j), max(i, j)) in cset and (min(j, k), max(j, k)) in cset
+          and (min(i, k), max(i, k)) in cset) for i, j, k in ang.tolist()],
+        bool) if ang.shape[0] else np.zeros(0, bool)
+    if not (null_b.any() or null_u.any() or null_a.any()):
+        return None
+    kb, ku, ka = ~null_b, ~null_u, ~null_a
+    return system.replace(
+        bonds=np.asarray(system.bonds).reshape(-1, 2)[kb],
+        bond_r0=np.asarray(system.bond_r0)[kb],
+        bond_k=np.asarray(system.bond_k)[kb],
+        ub_bonds=np.asarray(system.ub_bonds).reshape(-1, 2)[ku],
+        ub_r0=np.asarray(system.ub_r0)[ku],
+        ub_k=np.asarray(system.ub_k)[ku],
+        angles=ang[ka],
+        angle_theta0=np.asarray(system.angle_theta0)[ka],
+        angle_k=np.asarray(system.angle_k)[ka])
+
+
 class ForceEvaluator:
     """Builds a pure ``(pos, box) -> (terms, forces)`` function for a System
     plus optional external energy closures.
@@ -179,16 +225,29 @@ class ForceEvaluator:
         # fold_exc14=True they live in the pair kernel instead (costs ~20
         # VPU slots + 2 MXU dots per pair there — measured slower once the
         # dense path exists)
-        exc_mask = self.pair_tables["exc_term_mask"]
-        self.mol_types, leftover = mol_terms.build_mol_tables(
-            system, exc_mask=exc_mask)
-        if len(self.mol_types) > 32:
-            self.mol_types = []
-            leftover = None
-        if leftover is not None and "exception" in leftover:
-            exc_mask = leftover.pop("exception")
-        self.term_tables = term_forces.build_term_tables(
-            system, exc_keep_mask=exc_mask, keep_masks=leftover)
+        def build_term_eval(sysm):
+            exc_mask = self.pair_tables["exc_term_mask"]
+            mt, leftover = mol_terms.build_mol_tables(sysm, exc_mask=exc_mask)
+            if len(mt) > 32:
+                mt = []
+                leftover = None
+            if leftover is not None and "exception" in leftover:
+                exc_mask = leftover.pop("exception")
+            return mt, term_forces.build_term_tables(
+                sysm, exc_keep_mask=exc_mask, keep_masks=leftover)
+
+        self.mol_types, self.term_tables = build_term_eval(system)
+        # Force-path variant with constraint-null springs dropped: a spring
+        # term whose every internal coordinate is fixed by constraints
+        # (flexibleConstraints=True bond springs on constrained pairs, water
+        # HOH angle springs inside the rigid triangle) exerts force only in
+        # the constrained subspace, which the kick's RATTLE projection
+        # removes exactly — so the MD step (want_energy=False) skips them.
+        # Energy queries keep the full tables for OpenMM-parity reporting.
+        fsys = _drop_constraint_null_terms(system)
+        self.mol_types_force, self.term_tables_force = (
+            (self.mol_types, self.term_tables) if fsys is None
+            else build_term_eval(fsys))
         # reciprocal-space method: the exact k-sum matmul (ops/ewald.py) or
         # FFT PME (ops/pme.py); "auto" picks per system from the measured
         # cost models (exact wins for every bundled reference workload)
@@ -380,12 +439,14 @@ class ForceEvaluator:
 
         (e_smooth, terms), grad_smooth = jax.value_and_grad(
             self._smooth_energy, has_aux=True)(pos, box)
-        t_terms, t_idx, t_slots = self.term_tables
+        t_terms, t_idx, t_slots = (self.term_tables if want_energy
+                                   else self.term_tables_force)
+        mol_types = self.mol_types if want_energy else self.mol_types_force
         term_energies, f_terms = term_forces.energies_and_forces(
             pos, box, t_terms, t_idx, t_slots)
-        if self.mol_types:
+        if mol_types:
             mol_energies, f_mol = mol_terms.energies_and_forces(
-                pos, box, self.mol_types, s.n_atoms)
+                pos, box, mol_types, s.n_atoms)
             f_terms = f_terms + f_mol
             for k, v in mol_energies.items():
                 term_energies[k] = term_energies.get(k, 0.0) + v

@@ -78,8 +78,12 @@ def main():
     img_sum = float(q[pairs[:, 0]].sum())
     parent_sum = float(q[pairs[:, 1]].sum())
 
-    # production with profile accumulation over the second half
-    chunks, chunk = 40, prod // 40
+    # production with profile accumulation over the second half; sample
+    # every ~250 steps (host pull ~25 ms through the tunnel, negligible
+    # against a chunk of device stepping) and persist partial accumulation
+    # every ~5k steps so a long run is recoverable mid-flight
+    chunk = max(50, min(250, prod // 40))
+    chunks = max(1, prod // chunk)
     hist = np.zeros(nbin)
     n_acc = 0
     t0 = time.time()
@@ -90,6 +94,10 @@ def main():
             hist += np.histogram(pos[:, 2] % lz, bins=nbin, range=(0, lz),
                                  weights=q)[0]
             n_acc += 1
+            if n_acc % max(1, 5000 // chunk) == 0:
+                np.savez("/tmp/edl_closure_partial.npz", hist=hist,
+                         n_acc=n_acc, steps_done=(c + 1) * chunk,
+                         zc=zc, elapsed=time.time() - t0)
     jax.block_until_ready(ctx._carry.state.pos)
     elapsed = time.time() - t0
     rho = hist / n_acc / (area * dz)                    # e/nm^3
