@@ -361,12 +361,13 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
                     else None))
 
 
-# LJ-table one-hot dots as two exact bf16 MXU passes instead of one f32
-# matmul (Mosaic decomposes f32 matmuls into >=3 bf16 passes): the one-hot
-# operand is exactly representable in bf16, so splitting the f32 table into
-# bf16 hi + lo halves reconstructs the f32 selection to f32-rounding
-# accuracy while paying only 2 passes.  Flag for A/B perf comparison.
-LJ_DOT_BF16 = True
+# LJ-table one-hot dots as exact multi-pass bf16 MXU contractions instead
+# of one f32 matmul.  A/B-measured on the real chip (TPU v5e, 19.5k-atom
+# bench config): bf16 three-pass is SLOWER than the single f32 dot
+# (2.276 vs 1.959 ms/step) — Mosaic's own f32 decomposition beats the
+# hand-split here because the extra passes defeat operand reuse.  Kept as
+# an opt-in flag for future hardware; default off.
+LJ_DOT_BF16 = False
 
 
 def _onehot_dot(table_f32, onehot, exact_01=False):
