@@ -66,9 +66,13 @@ def _half_space_modes(kmax) -> np.ndarray:
     return np.ascontiguousarray(modes.astype(np.float32))
 
 
-def _structure_kernel(pos_ref, q_ref, kvec_ref, out_ref, *, kp):
-    """Accumulate S_re/S_im rows of the (8, Kp) output across atom tiles."""
-    i = pl.program_id(0)
+def _structure_kernel(pos_ref, q_ref, kvec_ref, out_ref):
+    """Accumulate S_re/S_im rows of one (8, kt) k-tile across atom tiles.
+
+    Grid is (nk, na) — the atom reduction is the innermost dim so the
+    output block (indexed by the k-tile only) stays resident in VMEM
+    across its accumulation run."""
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
@@ -76,7 +80,7 @@ def _structure_kernel(pos_ref, q_ref, kvec_ref, out_ref, *, kp):
 
     theta = (pos_ref[:, 0:1] * kvec_ref[0:1, :]
              + pos_ref[:, 1:2] * kvec_ref[1:2, :]
-             + pos_ref[:, 2:3] * kvec_ref[2:3, :])          # (T, Kp)
+             + pos_ref[:, 2:3] * kvec_ref[2:3, :])          # (T, kt)
     q = q_ref[:, 0:1]
     s_re = jnp.sum(q * jnp.cos(theta), axis=0, keepdims=True)
     s_im = jnp.sum(q * jnp.sin(theta), axis=0, keepdims=True)
@@ -84,28 +88,43 @@ def _structure_kernel(pos_ref, q_ref, kvec_ref, out_ref, *, kp):
     out_ref[1:2, :] += s_im
 
 
-def _force_kernel(pos_ref, q_ref, kvec_ref, ab_ref, f_ref, *, kp):
+def _force_kernel(pos_ref, q_ref, kvec_ref, ab_ref, f_ref):
     """Per-atom reciprocal force: ab_ref rows are (a_k, b_k) = 2 c0 w_k
-    (S_im, S_re); F_i = -q_i * sum_k (a_k cos - b_k sin)(theta_ik) k."""
+    (S_im, S_re); F_i = -q_i * sum_k (a_k cos - b_k sin)(theta_ik) k.
+
+    Grid is (na, nk) — the k reduction is the innermost dim so the force
+    block (indexed by the atom tile only) accumulates in VMEM, and the
+    (T, kt) theta temporaries stay bounded regardless of the total K
+    (at EDL kmax the unsplit K ~ 12k rows blew the 16 MB scoped-vmem
+    limit; see ROUND4_NOTES 'exact_fused crashes on TPU')."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        f_ref[:, :] = jnp.zeros_like(f_ref)
+
     theta = (pos_ref[:, 0:1] * kvec_ref[0:1, :]
              + pos_ref[:, 1:2] * kvec_ref[1:2, :]
-             + pos_ref[:, 2:3] * kvec_ref[2:3, :])          # (T, Kp)
+             + pos_ref[:, 2:3] * kvec_ref[2:3, :])          # (T, kt)
     g = q_ref[:, 0:1] * (ab_ref[0:1, :] * jnp.cos(theta)
                          - ab_ref[1:2, :] * jnp.sin(theta))  # dE/dtheta
-    fx = -jnp.sum(g * kvec_ref[0:1, :], axis=1, keepdims=True)
-    fy = -jnp.sum(g * kvec_ref[1:2, :], axis=1, keepdims=True)
-    fz = -jnp.sum(g * kvec_ref[2:3, :], axis=1, keepdims=True)
-    f_ref[:, 0:1] = fx
-    f_ref[:, 1:2] = fy
-    f_ref[:, 2:3] = fz
-    f_ref[:, 3:8] = jnp.zeros_like(f_ref[:, 3:8])
+    f_ref[:, 0:1] += -jnp.sum(g * kvec_ref[0:1, :], axis=1, keepdims=True)
+    f_ref[:, 1:2] += -jnp.sum(g * kvec_ref[1:2, :], axis=1, keepdims=True)
+    f_ref[:, 2:3] += -jnp.sum(g * kvec_ref[2:3, :], axis=1, keepdims=True)
 
 
 def _prep(pos, box, charges, beta, kmax, ts):
     """Shared padding + k-vector/weight setup (all jnp; K stays tiny)."""
     modes = _half_space_modes(kmax)                          # (K, 3) static
     k_real = modes.shape[0]
-    kp = max(128, -(-k_real // 128) * 128)
+    # k tile: single tile when small (bulk kmax ~ 340 modes), else 1024-lane
+    # tiles so the per-tile (ts, kt) theta temporaries stay ~1 MB each and
+    # the kernels fit scoped VMEM at any kmax (EDL: K ~ 11.9k).
+    if k_real <= 2048:
+        kt = max(128, -(-k_real // 128) * 128)
+    else:
+        kt = 1024
+    kp = -(-k_real // kt) * kt
     n = pos.shape[0]
     n_pad = -(-n // ts) * ts
     posp = jnp.pad(pos.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
@@ -119,20 +138,20 @@ def _prep(pos, box, charges, beta, kmax, ts):
                   2.0 * jnp.exp(-k2s / (4.0 * beta * beta)) / k2s, 0.0)
     vol = box[0] * box[1] * box[2]
     c0 = ONE_4PI_EPS0 * 2.0 * PI / vol
-    return posp, qp, kvec, w, c0, n_pad, kp
+    return posp, qp, kvec, w, c0, n_pad, kp, kt
 
 
-def _structure_factor(posp, qp, kvec, ts, kp, interpret):
-    grid = (posp.shape[0] // ts,)
+def _structure_factor(posp, qp, kvec, ts, kp, kt, interpret):
+    grid = (kp // kt, posp.shape[0] // ts)                   # k major, atoms minor
     out = pl.pallas_call(
-        functools.partial(_structure_kernel, kp=kp),
+        _structure_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ts, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 3), lambda k, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda k, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kt), lambda k, i: (0, k), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, kp), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((8, kt), lambda k, i: (0, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, kp), jnp.float32),
         interpret=interpret,
@@ -140,18 +159,18 @@ def _structure_factor(posp, qp, kvec, ts, kp, interpret):
     return out[0, :], out[1, :]
 
 
-def _forces(posp, qp, kvec, ab, ts, kp, n, interpret):
-    grid = (posp.shape[0] // ts,)
+def _forces(posp, qp, kvec, ab, ts, kp, kt, n, interpret):
+    grid = (posp.shape[0] // ts, kp // kt)                   # atoms major, k minor
     f = pl.pallas_call(
-        functools.partial(_force_kernel, kp=kp),
+        _force_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ts, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, kt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ts, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ts, 8), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((posp.shape[0], 8), jnp.float32),
         interpret=interpret,
