@@ -45,9 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..units import ONE_4PI_EPS0, PI
 
 # When True, ForceEvaluator's recip="auto" resolves "exact" to the fused
-# kernel on non-CPU single-chip backends.  Flip only after a device A/B
-# (ab_recip.py exact_fused) confirms the win — the kernel is lowering-
-# checked for TPU but not yet timed on real hardware.
+# kernel on non-CPU single-chip backends.  Round-4 device A/B: the unsplit
+# kernel blew the 16 MB scoped-VMEM limit at EDL kmax (f32[8,11904] theta
+# temporaries, results/ab_matrix_r4.log tail); the k-tiling in _prep caps
+# per-tile temporaries at (ts, 1024).  Flip after a round-5 device A/B at
+# both bulk and EDL kmax confirms the tiled kernel wins.
 FUSED_AUTO = False
 
 
@@ -187,30 +189,30 @@ def reciprocal_energy_fused(pos, box, charges, beta, kmax,
     roundoff; jax.grad w.r.t. ``pos`` runs the fused force kernel.  The
     custom backward returns zero cotangents for box/charges.
     """
-    posp, qp, kvec, w, c0, n_pad, kp = _prep(pos, box, charges, beta,
-                                             kmax, ts)
-    s_re, s_im = _structure_factor(posp, qp, kvec, ts, kp, interpret)
+    posp, qp, kvec, w, c0, n_pad, kp, kt = _prep(pos, box, charges, beta,
+                                                 kmax, ts)
+    s_re, s_im = _structure_factor(posp, qp, kvec, ts, kp, kt, interpret)
     return c0 * jnp.sum(w * (s_re * s_re + s_im * s_im))
 
 
 def _fused_fwd(pos, box, charges, beta, kmax, ts, interpret):
-    posp, qp, kvec, w, c0, n_pad, kp = _prep(pos, box, charges, beta,
-                                             kmax, ts)
-    s_re, s_im = _structure_factor(posp, qp, kvec, ts, kp, interpret)
+    posp, qp, kvec, w, c0, n_pad, kp, kt = _prep(pos, box, charges, beta,
+                                                 kmax, ts)
+    s_re, s_im = _structure_factor(posp, qp, kvec, ts, kp, kt, interpret)
     e = c0 * jnp.sum(w * (s_re * s_re + s_im * s_im))
     return e, (pos, box, charges, s_re, s_im)
 
 
 def _fused_bwd(beta, kmax, ts, interpret, res, g):
     pos, box, charges, s_re, s_im = res
-    posp, qp, kvec, w, c0, n_pad, kp = _prep(pos, box, charges, beta,
-                                             kmax, ts)
+    posp, qp, kvec, w, c0, n_pad, kp, kt = _prep(pos, box, charges, beta,
+                                                 kmax, ts)
     # dE/dtheta_ik = 2 c0 w_k (S_im cos - S_re sin) q_i; rows: (a_k, b_k)
     a = 2.0 * c0 * w * s_im
     b = 2.0 * c0 * w * s_re
     ab = jnp.zeros((8, kp), jnp.float32)
     ab = ab.at[0, :].set(a).at[1, :].set(b)
-    dpos = -_forces(posp, qp, kvec, ab, ts, kp, pos.shape[0], interpret)
+    dpos = -_forces(posp, qp, kvec, ab, ts, kp, kt, pos.shape[0], interpret)
     return (g * dpos, jnp.zeros_like(box), jnp.zeros_like(charges))
 
 

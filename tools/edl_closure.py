@@ -1,22 +1,27 @@
 #!/usr/bin/env python3
 """Quantitative constant-voltage EDL validation (reference README.md:148-170).
 
-Runs the synthesized ~37k-atom capacitor at 1 V, accumulates the
-time-averaged charge-density profile rho_q(z), and closes the loop through
-electrostatics:
+Runs an EDL capacitor at 1 V, accumulates the time-averaged charge-density
+profile rho_q(z), and closes the loop through electrostatics using the
+corrected estimators in openmm_velocityverlet_tpu/edl_analysis.py
+(pipeline itself validated on analytic fixtures in
+tests/test_edl_analysis.py):
 
-1. Poisson:  phi''(z) = -rho_q(z)/eps0.  The TOTAL potential (induced +
-   applied uniform field) must recover the conductor boundary conditions
-   the image-charge method is supposed to enforce: near-zero total field
-   inside each electrode, and an electrode-to-electrode potential drop
-   equal to the applied voltage.
-2. Image bookkeeping: sum(q_image) == -sum(q_electrolyte) exactly (every
-   electrolyte particle carries one mirror of opposite charge).
-3. Differential observable: the accumulated electrode-region counter
-   charge Q gives the cell capacitance C = Q/V.
+1. Poisson: the potential drop between the two conductor PLANES (z = 0
+   and z = mirror, evaluated on bin edges from the liquid side) must
+   recover the applied voltage; the induced part must vanish by image
+   antisymmetry.
+2. Image bookkeeping: sum(q_image) == -sum(q_electrolyte) exactly, and
+   the binned rho_q must be antisymmetric about the mirror.
+3. Capacitance, two INDEPENDENT estimators that must agree:
+   (a) liquid dipole moment (two-grounded-planes Green's function,
+       position-based, no binning), (b) eps0 * E at the conductor plane.
+4. Convergence: drop and capacitance vs time, from the running rho
+   accumulation (written to the output json as a trace).
 
 Usage: python tools/edl_closure.py [model_dir] [prod_steps]
-Writes /tmp/edl_closure.json and prints it.
+Writes /tmp/edl_closure.json + /tmp/edl_closure_profile.txt and prints
+the json.
 """
 import importlib.util
 import json
@@ -28,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-EPS0 = 0.05526349406  # e / (V nm)
+from openmm_velocityverlet_tpu import edl_analysis as ea
 
 
 def main():
@@ -73,19 +78,24 @@ def main():
     dz = lz / nbin
     zc = (np.arange(nbin) + 0.5) * dz
 
-    # 2. exact image bookkeeping
+    # exact image bookkeeping
     pairs = np.asarray(ctx.data.image_pairs)
     img_sum = float(q[pairs[:, 0]].sum())
     parent_sum = float(q[pairs[:, 1]].sum())
 
+    # liquid = everything that is not an image (electrode atoms included:
+    # their restrained dipole response is part of the cell's answer)
+    liquid_mask = np.ones(len(q), bool)
+    liquid_mask[pairs[:, 0]] = False
+
     # production with profile accumulation over the second half; sample
-    # every ~250 steps (host pull ~25 ms through the tunnel, negligible
-    # against a chunk of device stepping) and persist partial accumulation
-    # every ~5k steps so a long run is recoverable mid-flight
+    # every ~250 steps and persist partial accumulation every ~5k steps
     chunk = max(50, min(250, prod // 40))
     chunks = max(1, prod // chunk)
     hist = np.zeros(nbin)
     n_acc = 0
+    mz_acc = 0.0
+    trace = []            # (ps, drop_V, cap_dipole) convergence trace
     t0 = time.time()
     for c in range(chunks):
         ctx.step(chunk)
@@ -94,7 +104,17 @@ def main():
             hist += np.histogram(pos[:, 2] % lz, bins=nbin, range=(0, lz),
                                  weights=q)[0]
             n_acc += 1
+            mz_acc += float(np.sum(q[liquid_mask]
+                                   * (pos[liquid_mask, 2] % lz)))
             if n_acc % max(1, 5000 // chunk) == 0:
+                rho_now = hist / n_acc / (area * dz)
+                prof_now = ea.poisson_profile(rho_now, lz, voltage)
+                sig_now = mz_acc / n_acc / mirror / area
+                trace.append([
+                    round((c + 1) * chunk * float(ctx.data.dt), 2),
+                    round(prof_now["drop_V"], 4),
+                    round(abs(sig_now) / voltage * 1.602176634e-19
+                          / 1e-14 * 1e6, 3)])
                 np.savez("/tmp/edl_closure_partial.npz", hist=hist,
                          n_acc=n_acc, steps_done=(c + 1) * chunk,
                          zc=zc, elapsed=time.time() - t0)
@@ -102,97 +122,36 @@ def main():
     elapsed = time.time() - t0
     rho = hist / n_acc / (area * dz)                    # e/nm^3
 
-    # 1. Poisson double integration + applied uniform field.
-    # E_ind(z) = (1/eps0) int_0^z rho dz' + E0; fix E0 so the total field
-    # averages to the periodic-consistency value (the Ewald cell has no
-    # net field): <E_ind> over the box = 0.
-    e_ind = np.cumsum(rho) * dz / EPS0
-    e_ind -= e_ind.mean()
-    # applied field acts between the plates: the run-edl convention is a
-    # uniform E = 2 V / lz on electrolyte charges (README.md:172-190)
-    e_app = 2.0 * voltage / lz
-    e_tot = e_ind + e_app
-    phi = -np.cumsum(e_tot) * dz
-    phi -= phi[0]
-
-    # electrode interiors, detected from the actual MoS2 atom positions so
-    # both the synthesized capacitor and the real reconstructed datasets
-    # work (real edl_*: two trilayers per electrode, lower wrapped across
-    # z=0, upper above the mirror)
-    names = np.asarray(sim.topology.residue_names)
-    mos_z = np.asarray(ctx.state.pos)[names == "MoS2", 2] % lz
-    d_mirror = np.abs((mos_z - mirror + 0.5 * lz) % lz - 0.5 * lz)
-    d_zero = np.abs((mos_z + 0.5 * lz) % lz - 0.5 * lz)
-    upper_z = mos_z[d_mirror < d_zero]
-    lower_z = mos_z[d_zero <= d_mirror]
-
-    def region(zs):
-        # circular mean/extent of the slab's z values, then the bin-center
-        # mask of that interval (+ the interval itself for atom windows)
-        th = zs * (2 * np.pi / lz)
-        c = np.arctan2(np.sin(th).mean(), np.cos(th).mean()) * lz / (2 * np.pi)
-        dev = (zs - c + 0.5 * lz) % lz - 0.5 * lz
-        mid = (c + 0.5 * (dev.min() + dev.max())) % lz
-        half = max(float(dev.max() - dev.min()), 0.1) / 2.0
-        dd = np.abs((zc - mid + 0.5 * lz) % lz - 0.5 * lz)
-        return dd <= half, mid, half
-
-    in_lower, mid_lower, half_lower = region(lower_z)
-    in_upper, _, _ = region(upper_z)
-    e_lower = float(np.mean(e_tot[in_lower]))
-    e_upper = float(np.mean(e_tot[in_upper]))
-    e_liquid = float(np.mean(np.abs(
-        e_tot[(zc > 1.5) & (zc < mirror - 1.5)])))
-    phi_lower = float(np.mean(phi[in_lower]))
-    phi_upper = float(np.mean(phi[in_upper]))
-    drop = phi_lower - phi_upper
-
-    # 3. accumulated counter charge of the lower half-cell electrode
-    # region: all charges (electrode atoms + wrapped images) within
-    # 0.6 nm of the DETECTED lower electrode slab (works for both the
-    # synthesized capacitor and the real wrapped-trilayer datasets)
-    pos = np.asarray(ctx.state.pos)
-    zw = pos[:, 2] % lz
-    dd_at = np.abs((zw - mid_lower + 0.5 * lz) % lz - 0.5 * lz)
-    near_lower = dd_at <= half_lower + 0.6
-    q_electrode_lower = float(q[near_lower].sum())
-
-    # 3b. Gauss's law at the lower electrode: sigma = eps0 * E in the
-    # liquid gap just past the slab edge (field inside the conductor ~ 0),
-    # C = |sigma| / V — independent of any atom-window choice
-    dd_bins = np.abs((zc - mid_lower + 0.5 * lz) % lz - 0.5 * lz)
-    gap_lo = (dd_bins > half_lower + 0.15) & (dd_bins <= half_lower + 0.55)
-    sigma_gauss = EPS0 * float(np.mean(e_tot[gap_lo]))
-    cap_gauss_uF_cm2 = abs(sigma_gauss) / voltage \
-        * 1.602176634e-19 / 1e-14 * 1e6
-    cap_uF_cm2 = abs(q_electrode_lower) / voltage / area \
-        * 1.602176634e-19 / 1e-14 * 1e6     # e/(V nm^2) -> uF/cm^2
+    prof = ea.poisson_profile(rho, lz, voltage)
+    sigma_dip = mz_acc / n_acc / mirror / area
+    cap_dip = abs(sigma_dip) / voltage * 1.602176634e-19 / 1e-14 * 1e6
+    sigma_pf, cap_pf = ea.capacitance_plane_field(prof, voltage)
 
     out = {
         "prod_steps": prod,
         "ns_day": round(prod * float(ctx.data.dt) * 1e-3
                         / (elapsed / 86400.0), 2),
         "applied_V": voltage,
-        "recovered_drop_V": round(drop, 3),
-        "field_in_lower_electrode_V_nm": round(e_lower, 4),
-        "field_in_upper_electrode_V_nm": round(e_upper, 4),
-        "mean_abs_field_mid_liquid_V_nm": round(e_liquid, 4),
+        "recovered_drop_V": round(prof["drop_V"], 4),
+        "induced_drop_V": round(prof["drop_induced_V"], 4),
+        "rho_antisymmetry_residual": round(ea.antisymmetry_residual(rho), 4),
         "image_charge_sum_e": round(img_sum, 6),
         "electrolyte_charge_sum_e": round(parent_sum, 6),
         "image_sum_matches": bool(abs(img_sum + parent_sum) < 1e-3),
-        "lower_electrode_counter_charge_e": round(q_electrode_lower, 3),
-        "capacitance_uF_cm2": round(cap_uF_cm2, 3),
-        "sigma_gauss_e_nm2": round(sigma_gauss, 5),
-        "capacitance_gauss_uF_cm2": round(cap_gauss_uF_cm2, 3),
+        "sigma_dipole_e_nm2": round(sigma_dip, 5),
+        "capacitance_dipole_uF_cm2": round(cap_dip, 3),
+        "sigma_plane_field_e_nm2": round(sigma_pf, 5),
+        "capacitance_plane_field_uF_cm2": round(cap_pf, 3),
+        "trace_ps_drop_cap": trace,
     }
     with open("/tmp/edl_closure.json", "w") as f:
         json.dump(out, f, indent=1)
-    # full profiles for the judge/plots: z, rho_q(z), E_tot(z), phi(z)
+    # full profiles for the judge/plots: z_edge, rho_q(z), E_tot(z), phi(z)
     with open("/tmp/edl_closure_profile.txt", "w") as f:
-        f.write("# z_nm rho_q_e_nm3 E_tot_V_nm phi_V\n")
+        f.write("# zc_nm rho_q_e_nm3 | z_edge_nm E_tot_V_nm phi_V\n")
         for k in range(nbin):
-            f.write(f"{zc[k]:.4f} {rho[k]:.6f} {e_tot[k]:.6f} "
-                    f"{phi[k]:.6f}\n")
+            f.write(f"{zc[k]:.4f} {rho[k]:.6f} {prof['z_edge'][k]:.4f} "
+                    f"{prof['e_tot'][k]:.6f} {prof['phi'][k]:.6f}\n")
     print(json.dumps(out))
 
 
