@@ -60,9 +60,16 @@ def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0):
     computed, with doubled weights (the kz = 0 plane keeps its canonical
     (kx, ky) half-plane, also doubled).  The four real contractions of the
     complex structure factor are fused into ONE (2AB, n) x (n, 2C') matmul —
-    bigger MXU tiles, one pass over the position-phase intermediates, no
-    chunking scan (``chunk`` is accepted for API compatibility and ignored;
-    the (n, A, B) intermediate streams through HBM at ~13 MB per 20k atoms).
+    bigger MXU tiles, one pass over the position-phase intermediates.
+
+    ``chunk`` > 0 with n > 2*chunk switches to an atom-chunked lax.scan
+    accumulating the (2AB, 2C) contraction with a rematerialized body:
+    the (chunk, 2AB) phase block lives only inside one scan iteration
+    (forward AND backward — jax.checkpoint recomputes it instead of
+    saving), so nothing of size (n, AB) ever streams through HBM.  At the
+    EDL scale (40k atoms, AB = 169) the one-pass variant's 54 MB X/dX
+    round-trips dominated the reciprocal cost; measured device A/B in
+    results/ab_matrix_r5.log.
     """
     ax = jnp.arange(-kmax[0], kmax[0] + 1, dtype=jnp.float32)
     ay = jnp.arange(-kmax[1], kmax[1] + 1, dtype=jnp.float32)
@@ -86,22 +93,39 @@ def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0):
     wfac[:, :, 0] = np.where(plane_half, 2.0, 0.0)
     w = w * wfac
 
-    tx = pos[:, 0:1] * kx[None, :]
-    ty = pos[:, 1:2] * ky[None, :]
-    tz = pos[:, 2:3] * kz[None, :]
-    cx, sx = jnp.cos(tx), jnp.sin(tx)                          # (n,A)
-    cy, sy = jnp.cos(ty), jnp.sin(ty)                          # (n,B)
-    cz, sz = jnp.cos(tz), jnp.sin(tz)                          # (n,C)
-    qc = charges[:, None, None]
-    re = qc * (cx[:, :, None] * cy[:, None, :]
-               - sx[:, :, None] * sy[:, None, :])               # (n,A,B)
-    im = qc * (cx[:, :, None] * sy[:, None, :]
-               + sx[:, :, None] * cy[:, None, :])
-    X = jnp.concatenate([re.reshape(-1, A * B),
-                         im.reshape(-1, A * B)], axis=1)        # (n,2AB)
-    Y = jnp.concatenate([cz, sz], axis=1)                       # (n,2C)
-    M = jnp.einsum("nm,nc->mc", X, Y,
-                   preferred_element_type=jnp.float32)          # (2AB,2C)
+    def contraction(p, q):
+        """(m, 3) positions + (m,) charges -> their (2AB, 2C) M block."""
+        tx = p[:, 0:1] * kx[None, :]
+        ty = p[:, 1:2] * ky[None, :]
+        tz = p[:, 2:3] * kz[None, :]
+        cx, sx = jnp.cos(tx), jnp.sin(tx)                      # (m,A)
+        cy, sy = jnp.cos(ty), jnp.sin(ty)                      # (m,B)
+        cz, sz = jnp.cos(tz), jnp.sin(tz)                      # (m,C)
+        qc = q[:, None, None]
+        re = qc * (cx[:, :, None] * cy[:, None, :]
+                   - sx[:, :, None] * sy[:, None, :])           # (m,A,B)
+        im = qc * (cx[:, :, None] * sy[:, None, :]
+                   + sx[:, :, None] * cy[:, None, :])
+        X = jnp.concatenate([re.reshape(-1, A * B),
+                             im.reshape(-1, A * B)], axis=1)    # (m,2AB)
+        Y = jnp.concatenate([cz, sz], axis=1)                   # (m,2C)
+        return jnp.einsum("nm,nc->mc", X, Y,
+                          preferred_element_type=jnp.float32)   # (2AB,2C)
+
+    n = pos.shape[0]
+    if chunk and n > 2 * chunk:
+        nb = -(-n // chunk)
+        posp = jnp.pad(pos, ((0, nb * chunk - n), (0, 0)))
+        qp = jnp.pad(charges, (0, nb * chunk - n))
+
+        def body(M, xs):
+            return M + jax.checkpoint(contraction)(*xs), None
+
+        M, _ = jax.lax.scan(
+            body, jnp.zeros((2 * A * B, 2 * C), jnp.float32),
+            (posp.reshape(nb, chunk, 3), qp.reshape(nb, chunk)))
+    else:
+        M = contraction(pos, charges)
     rc_, rs_ = M[:A * B, :C], M[:A * B, C:]
     ic_, is_ = M[A * B:, :C], M[A * B:, C:]
     S_re = (rc_ - is_).reshape(A, B, C)

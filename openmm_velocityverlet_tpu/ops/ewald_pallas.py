@@ -45,11 +45,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..units import ONE_4PI_EPS0, PI
 
 # When True, ForceEvaluator's recip="auto" resolves "exact" to the fused
-# kernel on non-CPU single-chip backends.  Round-4 device A/B: the unsplit
-# kernel blew the 16 MB scoped-VMEM limit at EDL kmax (f32[8,11904] theta
-# temporaries, results/ab_matrix_r4.log tail); the k-tiling in _prep caps
-# per-tile temporaries at (ts, 1024).  Flip after a round-5 device A/B at
-# both bulk and EDL kmax confirms the tiled kernel wins.
+# kernel on non-CPU single-chip backends.  Round-5 device A/B
+# (results/ab_matrix_r5.log): the k-tiled kernel compiles and runs at any
+# kmax (round 4's VMEM blowout is fixed), but it LOSES to the factorized
+# exact-k matmul everywhere — 8.43 vs 1.96 ms/step on the 19.5k bulk
+# bench — because flattening the k grid forfeits the A*B x C phase
+# factorization: this kernel evaluates ~2NK transcendentals per pass
+# where the matmul path needs only ~2N(AB+C) plus one MXU contraction
+# (22x fewer at bulk kmax).  The HBM-intermediate problem it was built
+# for is solved instead by the atom-chunked remat scan in
+# ewald.reciprocal_energy(chunk=...).  Keep False; the kernel stays as a
+# reference implementation of the flattened-K formulation.
 FUSED_AUTO = False
 
 

@@ -26,6 +26,15 @@ _SLOW_MODULES = {
     "test_tgnh",           # statistical thermostat equilibration runs
     "test_physics",        # NVE/NVT long-run observables
     "test_langevin_mts",   # MSD scheme-parity statistics
+    # measured by `--durations` (round 5): these bulk-model / sweep-matrix
+    # modules put the tier at 10+ min; without them it is ~3 min
+    "test_gb",             # createSystem GB wiring alone is ~250 s
+    "test_cmap",           # full-pipeline constant-map run ~31 s
+    "test_replicate",      # replicated-system energy/forces ~24 s
+    "test_nbthole",        # psf-built NBTHOLE ~15 s
+    "test_switch",         # dense+pallas+sharded switch matrix ~50 s
+    "test_pme",            # bulk_Im21 PME/exact matrix ~50 s
+    "test_term_forces",    # autodiff-vs-analytic full matrix ~25 s
 }
 
 

@@ -141,3 +141,19 @@ def test_choose_reciprocal_prefers_exact_at_reference_scale():
     method_big, _ = pme.choose_reciprocal(
         500000, (40, 40, 40), [40.0, 40.0, 40.0])
     assert method_big == "pme"
+
+
+def test_exact_sum_chunked_matches_one_pass():
+    # atom-chunked remat scan (the large-N path forces.py uses via
+    # ewald_chunk) must match the one-pass contraction to f32 roundoff
+    pos, box, q = _random_system(n=900, seed=3)
+    beta, kmax = ewald.ewald_parameters(1.2, box=np.asarray(box))
+    f0 = jax.value_and_grad(
+        lambda p: ewald.reciprocal_energy(p, box, q, beta, kmax, chunk=0))
+    f1 = jax.value_and_grad(
+        lambda p: ewald.reciprocal_energy(p, box, q, beta, kmax, chunk=128))
+    e0, g0 = f0(pos)
+    e1, g1 = f1(pos)
+    assert abs(float(e0 - e1)) <= 2e-6 * abs(float(e0))
+    scale = float(jnp.abs(g0).max())
+    assert float(jnp.abs(g0 - g1).max()) <= 1e-5 * scale

@@ -15,6 +15,7 @@ Usage: python tools/langevin_dynamics_check.py [nsteps_prod=30000]
 Writes /tmp/langevin_dynamics.json.  TPU, ~6-10 min total.
 """
 import json
+import math
 import os
 import sys
 import time
@@ -90,15 +91,29 @@ def run(use_middle, nprod, sample_every=500, nequil=5000):
     # MSD over the second half lag window, averaged over time origins
     dt_frame = sample_every * 0.001              # ps
     lags = np.arange(1, len(frames) // 2)
-    msd = np.array([np.mean(np.sum(
-        (frames[lag:] - frames[:-lag]) ** 2, axis=-1)) for lag in lags])
+    msd_mol = np.array([np.mean(np.sum(
+        (frames[lag:] - frames[:-lag]) ** 2, axis=-1), axis=0)
+        for lag in lags])                        # (L, M)
+    msd = msd_mol.mean(axis=1)
     # D from the linear fit of the diffusive tail (drop the first quarter)
     q = len(lags) // 4
-    slope = np.polyfit(lags[q:] * dt_frame, msd[q:], 1)[0]
-    diff = slope / 6.0                           # nm^2/ps
+    t = lags[q:] * dt_frame
+
+    def slope_of(y):
+        return np.polyfit(t, y, 1)[0] / 6.0 * 1e-2   # cm^2/s
+
+    diff = slope_of(msd[q:])
+    # error bar: block the molecules into 8 groups (independent walkers up
+    # to hydrodynamic coupling) and take the spread of block D estimates
+    nmol = msd_mol.shape[1]
+    blocks = np.array_split(np.arange(nmol), 8)
+    d_blocks = np.array([slope_of(msd_mol[q:, b].mean(axis=1))
+                         for b in blocks])
+    d_err = float(d_blocks.std(ddof=1) / np.sqrt(len(blocks)))
     return {
         "scheme": "middle/OU" if use_middle else "vv/extra-force",
-        "D_cm2_s": diff * 1e-2,                  # nm^2/ps -> cm^2/s
+        "D_cm2_s": diff,
+        "D_err_cm2_s": d_err,
         "msd_nm2_at_half": float(msd[-1]),
         "t_drude_mean_K": float(np.mean(tds)),
         "steps_per_s": round(nprod / el, 1),
@@ -116,6 +131,11 @@ def main():
     a = out["middle/OU"]["D_cm2_s"]
     b = out["vv/extra-force"]["D_cm2_s"]
     out["D_ratio_middle_over_vv"] = a / b if b else None
+    if b:
+        ea = out["middle/OU"]["D_err_cm2_s"]
+        eb = out["vv/extra-force"]["D_err_cm2_s"]
+        out["D_ratio_err"] = abs(a / b) * math.sqrt(
+            (ea / a) ** 2 + (eb / b) ** 2) if a and b else None
     with open("/tmp/langevin_dynamics.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
