@@ -85,7 +85,8 @@ class Context:
                  ewald_chunk: int = 4096, sort_refresh: int = 120,
                  pair_ts: int = 0, fold_exc14: bool = False,
                  recip: str = "auto", mesh=None, mesh_axis: str = "atoms",
-                 pallas_interpret: bool = False, **_legacy):
+                 pallas_interpret: bool = False,
+                 strict_pairs: bool = False, **_legacy):
         # mesh: optional jax.sharding.Mesh — shards the step over the atom
         # axis (big per-atom carry arrays sharded, NH chains/scalars
         # replicated, pair-sweep row tiles per device with the column
@@ -127,7 +128,8 @@ class Context:
             system, external_forces, ewald_chunk=ewald_chunk,
             row_block=row_block, pair_ts=pair_ts, fold_exc14=fold_exc14,
             recip=recip, box_hint=box, pos_hint=positions,
-            mesh=mesh, mesh_axis=mesh_axis, pallas_interpret=pallas_interpret)
+            mesh=mesh, mesh_axis=mesh_axis, pallas_interpret=pallas_interpret,
+            strict_pairs=strict_pairs)
 
         n = system.n_atoms
         self.cons = cons_mod.build_constraint_data(

@@ -88,11 +88,19 @@ class ForceEvaluator:
                  box_hint=None, pos_hint=None, pair_ts: int = 0,
                  fold_exc14: bool = False, recip: str = "auto",
                  mesh=None, mesh_axis: str = "atoms",
-                 pallas_interpret: bool = False, **_legacy):
+                 pallas_interpret: bool = False,
+                 strict_pairs: bool = False, **_legacy):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
         self.row_block = row_block
+        # strict_pairs=True restores the in-step exact full-sweep fallback
+        # (a lax.cond) when the pair-list coverage check trips; the default
+        # accepts the standard Verlet-buffer semantics — the flagged step
+        # may miss a pair just entering the cutoff (force ~1e-3 kJ/mol/nm)
+        # and the cache still rebuilds immediately (see
+        # pallas_pair.direct_space_pallas)
+        self.strict_pairs = bool(strict_pairs)
         # multi-chip: a jax.sharding.Mesh shards the pair sweep's row tiles
         # and the per-atom arrays over the atom axis (parallel/mesh.py)
         self.mesh = mesh
@@ -429,7 +437,8 @@ class ForceEvaluator:
                     band_w=self.band_w, want_energy=want_energy,
                     cache=pair_cache, with_flag=True, mode=self.pair_mode,
                     plist_cap=self.plist_cap, skin=self.skin,
-                    plist_sort=self.plist_sort, r_switch=s.r_switch)
+                    plist_sort=self.plist_sort, r_switch=s.r_switch,
+                    strict=self.strict_pairs)
         else:
             e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
                 allpairs.direct_space_dense(

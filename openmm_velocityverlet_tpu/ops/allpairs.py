@@ -230,6 +230,30 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
         goh = np.zeros((n_atoms, G), np.float32)
         goh[np.arange(n_atoms), g] = 1.0
         out["gonehot"] = goh
+    # static per-residual-pair coefficients: types and groups never change,
+    # so the adjust path needs no (R,T) table gathers at runtime — at EDL
+    # scale (R = 13,448 from the MoS2 lattice + mirrored image exclusions)
+    # those gathers + one-hot reduces measured ~1.3 ms/step on device
+    if residual.shape[0]:
+        ti = lj_type[residual[:, 0]]
+        tj = lj_type[residual[:, 1]]
+        res_a = acoef[ti, tj].astype(np.float32)
+        res_b = bcoef[ti, tj].astype(np.float32)
+        if out["grows"] is not None:
+            ga = np.asarray(lj_group_allowed, np.float32)[
+                np.asarray(lj_group)[residual[:, 0]],
+                np.asarray(lj_group)[residual[:, 1]]]
+            res_a = res_a * ga
+            res_b = res_b * ga
+        out["residual_a"] = res_a
+        out["residual_b"] = res_b
+        if charges is not None:
+            # f32 operation order mirrors the old runtime expression
+            # (ONE_4PI_EPS0 * q_i) * q_j so results stay bit-identical
+            q32 = np.asarray(charges, np.float32)
+            out["residual_qq"] = ((np.float32(ONE_4PI_EPS0)
+                                   * q32[residual[:, 0]])
+                                  * q32[residual[:, 1]])
     return out
 
 

@@ -53,7 +53,8 @@ def ewald_parameters(r_cutoff: float, tolerance: float = 5e-4,
     return beta, kmax
 
 
-def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0):
+def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0,
+                      chunk_min_bytes: float = 40e6):
     """Exact k-space Ewald energy.  Differentiable; O(N * A*B*C') as matmuls.
 
     Conjugate symmetry S(-k) = S*(k) halves the grid: only kz >= 0 modes are
@@ -113,7 +114,12 @@ def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0):
                           preferred_element_type=jnp.float32)   # (2AB,2C)
 
     n = pos.shape[0]
-    if chunk and n > 2 * chunk:
+    # chunk only when the one-pass (n, 2AB) block is genuinely large:
+    # device A/B (results/ab_matrix_r5.log) — at 26 MB (19.5k bulk) the
+    # scan costs 4% (2.04 vs 1.96 ms/step), at 54 MB (40k EDL) it wins
+    # 13% (7.54 vs 8.63 ms/step); crossover set between the two
+    x_bytes = n * 2 * A * B * 4
+    if chunk and n > 2 * chunk and x_bytes > chunk_min_bytes:
         nb = -(-n // chunk)
         posp = jnp.pad(pos, ((0, nb * chunk - n), (0, 0)))
         qp = jnp.pad(charges, (0, nb * chunk - n))

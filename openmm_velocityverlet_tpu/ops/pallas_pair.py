@@ -1293,19 +1293,28 @@ def residual_adjustment(pos, box, charges, tables, beta, r_cutoff,
     from . import allpairs as ap
     from ..utils.pbc import minimum_image
     i, j = res[:, 0], res[:, 1]
-    arows = jnp.asarray(tables["arows"])
-    brows = jnp.asarray(tables["brows"])
-    onehot = jnp.asarray(tables["onehot"])
     dr = minimum_image(pos[i] - pos[j], box)
     r2 = jnp.sum(dr * dr, -1)
-    a = jnp.sum(arows[i] * onehot[j], -1)
-    b = jnp.sum(brows[i] * onehot[j], -1)
-    if tables["grows"] is not None:
-        allowed = jnp.sum(jnp.asarray(tables["grows"])[i]
-                          * jnp.asarray(tables["gonehot"])[j], -1)
-        a = a * allowed
-        b = b * allowed
-    qq = ONE_4PI_EPS0 * charges[i] * charges[j]
+    if "residual_a" in tables:
+        # static per-pair coefficients precomputed at table build — no
+        # (R,T) table gathers in the step (~1.3 ms at EDL's R = 13,448)
+        a = jnp.asarray(tables["residual_a"])
+        b = jnp.asarray(tables["residual_b"])
+    else:
+        arows = jnp.asarray(tables["arows"])
+        brows = jnp.asarray(tables["brows"])
+        onehot = jnp.asarray(tables["onehot"])
+        a = jnp.sum(arows[i] * onehot[j], -1)
+        b = jnp.sum(brows[i] * onehot[j], -1)
+        if tables["grows"] is not None:
+            allowed = jnp.sum(jnp.asarray(tables["grows"])[i]
+                              * jnp.asarray(tables["gonehot"])[j], -1)
+            a = a * allowed
+            b = b * allowed
+    if "residual_qq" in tables:
+        qq = jnp.asarray(tables["residual_qq"])
+    else:
+        qq = ONE_4PI_EPS0 * charges[i] * charges[j]
     ones = jnp.ones(r2.shape, bool)
     _, _, e_corr_r, _, _, f_corr_only = ap._pair_terms(
         r2, qq, a, b, beta, r_cutoff,
@@ -1406,7 +1415,8 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                         cache: "PairCache | None" = None,
                         with_flag: bool = False, mode: str = "band",
                         plist_cap: int = 0, skin: float = 0.1,
-                        plist_sort: str = "morton", r_switch: float = 0.0):
+                        plist_sort: str = "morton", r_switch: float = 0.0,
+                        strict: bool = True):
     """Drop-in replacement for allpairs.direct_space_dense on TPU.
 
     symmetric=True runs the upper-triangle kernel (half the pair work via
@@ -1506,33 +1516,47 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                 raise NotImplementedError(
                     "plist mode folds 1-4 exceptions via the dense "
                     "molecular path; build tables with fold_exc14=False")
-            # pair-list sweep, with the exhaustive sorted-layout sweep as
-            # the lax.cond fallback whenever the coverage check trips or
-            # the candidate list overflowed — the step stays CORRECT,
-            # merely slower; callers rebuild the cache on the flag
-            rows, colacc = jax.lax.cond(
-                flag,
-                lambda a: _run_tri(*a, band_w=0, full_sweep=True, **tri_kw),
-                lambda a: _run_plist(
+            # pair-list sweep.  strict=True wraps it in a lax.cond whose
+            # other branch is the exhaustive sorted-layout sweep, taken
+            # whenever the coverage check trips or the candidate list
+            # overflowed — that step stays exact, merely slower.
+            # strict=False (the Context production default) runs the list
+            # unconditionally: a tripped step may miss a pair that just
+            # crossed into the cutoff (force there ~1e-3 kJ/mol/nm — the
+            # classical Verlet-buffer miss every production MD engine
+            # accepts) and the flag still forces an immediate cache
+            # rebuild; dropping the cond removes ~60-90 us/step of XLA
+            # conditional operand/result copies around the kernel.
+            def _plist_branch(a):
+                return _run_plist(
                     cache.plist, a[0], a[1], a[2], a[3], a[5], a[6], a[7],
                     a[8], a[9], a[10], a[12], a[13], a[14],
                     beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
                     n_real=n, t_dim=t_dim, want_energy=want_energy,
-                    interpret=interpret, r_switch=float(r_switch)),
-                tri_args)
+                    interpret=interpret, r_switch=float(r_switch))
+
+            if strict:
+                rows, colacc = jax.lax.cond(
+                    flag,
+                    lambda a: _run_tri(*a, band_w=0, full_sweep=True,
+                                       **tri_kw),
+                    _plist_branch,
+                    tri_args)
+            else:
+                rows, colacc = _plist_branch(tri_args)
             f_full = rows[:, :3] + colacc[:3, :].T
             forces = f_full[invperm][:n]
         elif use_band:
-            # banded sweep, with the exhaustive sorted-layout sweep as the
-            # lax.cond fallback whenever the coverage check trips (stale
-            # sort is handled upstream by a cache rebuild; this branch
-            # covers a band too narrow for the current density) — the step
-            # stays CORRECT, merely slower, instead of NaN-poisoning
-            rows, colacc = jax.lax.cond(
-                flag,
-                lambda a: _run_tri(*a, band_w=0, full_sweep=True, **tri_kw),
-                lambda a: _run_tri(*a, band_w=band_w, **tri_kw),
-                tri_args)
+            # banded sweep; strict semantics as in the plist branch above
+            if strict:
+                rows, colacc = jax.lax.cond(
+                    flag,
+                    lambda a: _run_tri(*a, band_w=0, full_sweep=True,
+                                       **tri_kw),
+                    lambda a: _run_tri(*a, band_w=band_w, **tri_kw),
+                    tri_args)
+            else:
+                rows, colacc = _run_tri(*tri_args, band_w=band_w, **tri_kw)
             f_full = rows[:, :3] + colacc[:3, :].T
             forces = f_full[invperm][:n]
         else:

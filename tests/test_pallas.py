@@ -349,3 +349,42 @@ def test_plist_inert_tile_culling():
     # ...and the cull visibly dropped inert-inert work (forces on some
     # inert atoms differ from the full sweep)
     assert np.max(np.abs(f_p[inert] - f_d[inert])) > 1.0
+
+
+def test_pallas_plist_relaxed_mode_matches_strict_when_covered():
+    """strict=False (the Context production default) must be bit-identical
+    to strict=True whenever the coverage check is clean, and must still
+    raise the cov flag (forcing a rebuild) on a stale cache."""
+    rng = np.random.default_rng(6)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl,
+                                        fold_exc14=False)
+    beta, rc = 2.2, 1.2
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    cap = int(pallas_pair.count_candidates_np(
+        pos, box, 128, rc + 0.1, mode="z") * 1.6) + 16
+    cache = pallas_pair.make_pair_cache(posj, box, qj, tables, 128,
+                                        mode="z", cap=cap, rc_cand=rc + 0.1)
+    kw = dict(ts=128, interpret=True, mode="plist", plist_cap=cap,
+              cache=cache, with_flag=True)
+    out_s = pallas_pair.direct_space_pallas(posj, box, qj, tables, beta, rc,
+                                            strict=True, **kw)
+    out_r = pallas_pair.direct_space_pallas(posj, box, qj, tables, beta, rc,
+                                            strict=False, **kw)
+    assert not bool(out_s[6]) and not bool(out_r[6])
+    np.testing.assert_array_equal(np.asarray(out_s[5]), np.asarray(out_r[5]))
+    for x, y in zip(out_s[:5], out_r[:5]):
+        assert float(x) == float(y)
+
+    # stale cache: relaxed mode still flags (the step-loop rebuild trigger)
+    shift = jnp.zeros_like(posj).at[: 300 * 4, 2].add(4.0)
+    stale = pallas_pair.make_pair_cache(
+        posj + shift, box, qj, tables, 128, mode="z", cap=cap,
+        rc_cand=rc + 0.1)
+    out_stale = pallas_pair.direct_space_pallas(
+        posj, box, qj, tables, beta, rc, strict=False,
+        ts=128, interpret=True, mode="plist", plist_cap=cap,
+        cache=stale, with_flag=True)
+    assert bool(out_stale[6])
+    assert np.all(np.isfinite(np.asarray(out_stale[5])))

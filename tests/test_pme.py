@@ -151,7 +151,8 @@ def test_exact_sum_chunked_matches_one_pass():
     f0 = jax.value_and_grad(
         lambda p: ewald.reciprocal_energy(p, box, q, beta, kmax, chunk=0))
     f1 = jax.value_and_grad(
-        lambda p: ewald.reciprocal_energy(p, box, q, beta, kmax, chunk=128))
+        lambda p: ewald.reciprocal_energy(p, box, q, beta, kmax, chunk=128,
+                                          chunk_min_bytes=0))
     e0, g0 = f0(pos)
     e1, g1 = f1(pos)
     assert abs(float(e0 - e1)) <= 2e-6 * abs(float(e0))

@@ -34,6 +34,10 @@ def main():
                     help="override ops.pallas_pair.LJ_DOT_BF16 (0/1)")
     ap.add_argument("--sort-refresh", type=int, default=120)
     ap.add_argument("--pair-ts", type=int, default=0)
+    ap.add_argument("--strict", type=int, default=0,
+                    help="strict_pairs (in-step exact fallback cond)")
+    ap.add_argument("--ewald-chunk", type=int, default=0,
+                    help="override Context ewald_chunk (0 = default)")
     ap.add_argument("--edl", default="", metavar="MODEL_DIR",
                     help="time the constant-voltage EDL step from MODEL_DIR "
                          "instead of a bulk model")
@@ -53,10 +57,15 @@ def main():
         argv0, sys.argv = sys.argv, ["run-edl.py"]
         spec.loader.exec_module(runedl)
         sys.argv = argv0
+        kw = {}
+        if args.ewald_chunk:
+            kw["ewald_chunk"] = args.ewald_chunk
+        if args.strict:
+            kw["strict_pairs"] = True
         sim = runedl.gen_simulation(
             args.edl + "/conf.gro", args.edl + "/topol.psf",
             args.edl + "/ff.prm", voltage=1.0, recip=args.recip,
-            sort_refresh=args.sort_refresh, pair_ts=args.pair_ts)
+            sort_refresh=args.sort_refresh, pair_ts=args.pair_ts, **kw)
         ctx = sim.context
         label = f"edl:{os.path.basename(args.edl)}"
     else:
@@ -79,9 +88,13 @@ def main():
             system, pos, box = replicate(system, pos, box, factors)
         integ = VVIntegrator(333, 10, 1, 40, 0.001)
         integ.setMaxDrudeDistance(0.02)
+        kw = {}
+        if args.ewald_chunk:
+            kw["ewald_chunk"] = args.ewald_chunk
         ctx = Context(system, integ, positions=pos, box=box,
                       recip=args.recip, sort_refresh=args.sort_refresh,
-                      pair_ts=args.pair_ts)
+                      pair_ts=args.pair_ts,
+                      strict_pairs=bool(args.strict), **kw)
         ctx.set_velocities_to_temperature(333.0)
         label = f"{args.model}x{args.replicate}"
 
@@ -99,6 +112,7 @@ def main():
         "recip": args.recip, "recip_used": recip_used,
         "bf16": pallas_pair.LJ_DOT_BF16,
         "sort_refresh": args.sort_refresh, "pair_ts": args.pair_ts,
+        "strict": bool(args.strict),
         "ms_step": round(ms, 4),
         "ns_day": round(args.steps / el * 0.001 * 1e-3 * 86400.0, 2),
     }))
