@@ -125,6 +125,15 @@ class PairCache(NamedTuple):
     # no vsite redistribution), so dynamics are bit-identical.  Energy
     # queries build their own un-culled cache.
     tile_inert: jnp.ndarray = None
+    # Tile-major stacked LJ/group table rows for the plist kernel: per row
+    # tile k the rows [S*k*ts, S*(k+1)*ts) hold [A-rows; B-rows(; G-rows)]
+    # so the kernel selects a, b (and the group-allowed mask) with ONE
+    # (S*ts, K) x (K, ts) MXU dot against oh2T = [onehotT(; gonehotT)] —
+    # block-diagonal in K when groups are present.  Device A/B
+    # (tools/kernel_microbench.py, 19.5k bench): -14% kernel time vs the
+    # two-dot form, bit-exact.
+    ab2: jnp.ndarray = None     # (S*n_pad, K) f32
+    oh2T: jnp.ndarray = None    # (K, n_pad) f32
 
 
 def _morton_key(pos, box, n_pad):
@@ -349,16 +358,43 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
         # index caps the kernel at 16,384 tiles (~2M atoms at ts=128)
         assert n_tiles < (1 << 14), "plist packing: too many tiles"
         plist = (i_t << 17) | (j_t << 3) | flags
+    onehotT = onehot2d[perm].T
+    gonehotT = gonehot2d[perm].T
+    ab2 = oh2T = None
+    if cap > 0:
+        # tile-major stacked table rows (see the PairCache.ab2 doc): the
+        # plist kernel's whole per-pair coefficient selection — a, b, and
+        # the group-allowed mask when present — becomes one MXU dot per
+        # tile pair against the stacked one-hot
+        t_dim = onehot2d.shape[1]
+        n_tiles = n_pad // ts
+        av = ab[:, :t_dim]
+        bv = ab[:, t_dim:2 * t_dim]
+        use_groups = gonehot2d.shape[1] > 1
+        if use_groups:
+            G = grows.shape[1]
+            blocks = [jnp.pad(av, ((0, 0), (0, G))),
+                      jnp.pad(bv, ((0, 0), (0, G))),
+                      jnp.pad(grows, ((0, 0), (t_dim, 0)))]
+            oh2T = jnp.concatenate([onehotT, gonehotT], axis=0)
+        else:
+            blocks = [av, bv]
+            oh2T = onehotT
+        k2 = blocks[0].shape[1]
+        ab2 = jnp.concatenate(
+            [blk.reshape(n_tiles, ts, k2) for blk in blocks],
+            axis=1).reshape(len(blocks) * n_pad, k2)
     return PairCache(
         perm=perm, invperm=invperm, q2d=q2d, ab=ab, bits2d=bits2d,
         bits14_2d=bits14_2d,
         grows=grows, qT=q2d.reshape(1, -1), bitsT=bits2d.reshape(1, -1),
         bits14T=bits14_2d.reshape(1, -1),
-        oidT=perm.reshape(1, -1), onehotT=onehot2d[perm].T,
-        gonehotT=gonehot2d[perm].T,
+        oidT=perm.reshape(1, -1), onehotT=onehotT,
+        gonehotT=gonehotT,
         plist=plist, cand=cand, overflow=overflow,
         tile_inert=(tile_inert if (cap > 0 and inert is not None)
-                    else None))
+                    else None),
+        ab2=ab2, oh2T=oh2T)
 
 
 # LJ-table one-hot dots as exact multi-pass bf16 MXU contractions instead
@@ -1003,10 +1039,10 @@ def count_candidates_np(pos, box, ts: int, rc_cand: float,
     return int(np.sum(cand & (ii[None, :] >= ii[:, None])))
 
 
-def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
-                  bits_rows_ref, oid_rows_ref, grows_ref, posT_ref, qT_ref,
-                  onehotT_ref, bitsT_ref, oidT_ref, gonehotT_ref, box_ref,
-                  rows_ref, colacc_ref, *, ts, beta, r_cutoff, t_dim,
+def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab2_rows_ref,
+                  bits_rows_ref, oid_rows_ref, posT_ref, qT_ref,
+                  oh2T_ref, bitsT_ref, oidT_ref, box_ref,
+                  rows_ref, colacc_ref, *, ts, beta, r_cutoff,
                   use_groups, want_energy, pcoef, r_switch=0.0):
     """AABB-culled tile-pair-list sweep (mode="plist" of the sorted-layout
     family; see _pair_tri_kernel for the shared math and layout doc).
@@ -1039,8 +1075,6 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
 
     def _body(test_excl):
         col0 = j * ts
-        a_rows = ab_rows_ref[:, :t_dim]
-        b_rows = ab_rows_ref[:, t_dim:2 * t_dim]
         px = pos_rows_ref[:, 0:1]
         py = pos_rows_ref[:, 1:2]
         pz = pos_rows_ref[:, 2:3]
@@ -1074,12 +1108,13 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
                     (delta >= -MAX_EXCL_OFFSET)
             alive = delta != 0
 
-        onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
-        a = _onehot_dot(a_rows, onehot_c)
-        b = _onehot_dot(b_rows, onehot_c)
+        # one stacked MXU dot selects a, b (and the group mask) — see
+        # PairCache.ab2
+        sel = _onehot_dot(ab2_rows_ref[:, :], oh2T_ref[:, pl.ds(col0, ts)])
+        a = sel[:ts, :]
+        b = sel[ts:2 * ts, :]
         if use_groups:
-            goh_c = gonehotT_ref[:, pl.ds(col0, ts)]
-            allowed = _onehot_dot(grows_ref[:, :], goh_c, exact_01=True)
+            allowed = sel[2 * ts:, :]
             a = a * allowed
             b = b * allowed
         qq = ONE_4PI_EPS0 * qrow * qcol
@@ -1177,18 +1212,20 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab_rows_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "ts", "n_real",
-                                    "t_dim", "want_energy", "interpret",
+                                    "want_energy", "interpret",
                                     "r_switch"))
-def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
-               onehotT, bitsT, oidT, gonehotT, box, beta, r_cutoff, ts,
-               n_real, t_dim, want_energy=False, interpret=False,
+def _run_plist(plist, pos2d, q2d, ab2, bits2d, oid2d, posT, qT,
+               oh2T, bitsT, oidT, box, beta, r_cutoff, ts,
+               n_real, want_energy=False, interpret=False,
                r_switch=0.0):
     n_pad = posT.shape[1]
     n_tiles = n_pad // ts
     cap = plist.shape[0]
-    use_groups = gonehotT.shape[0] > 1
+    # ab2 stacks S = 2 blocks per tile (A, B) or 3 (A, B, group rows)
+    stack = ab2.shape[0] // n_pad
+    use_groups = stack == 3
     kernel = functools.partial(
-        _plist_kernel, ts=ts, beta=beta, r_cutoff=r_cutoff, t_dim=t_dim,
+        _plist_kernel, ts=ts, beta=beta, r_cutoff=r_cutoff,
         use_groups=use_groups, want_energy=want_energy,
         pcoef=_pfit_scaled(float(beta), float(r_cutoff)), r_switch=r_switch)
     def _row(p, pref):
@@ -1205,11 +1242,9 @@ def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
         in_specs=[
             pl.BlockSpec((ts, 3), _row),
             pl.BlockSpec((ts, 1), _row),
-            pl.BlockSpec((ts, ab.shape[1]), _row),
+            pl.BlockSpec((stack * ts, ab2.shape[1]), _row),
             pl.BlockSpec((ts, 1), _row),
             pl.BlockSpec((ts, 1), _row),
-            pl.BlockSpec((ts, grows.shape[1]), _row),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1232,8 +1267,8 @@ def _run_plist(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(plist, pos2d, q2d, ab, bits2d, oid2d, grows, posT, qT, onehotT,
-      bitsT, oidT, gonehotT, box)
+    )(plist, pos2d, q2d, ab2, bits2d, oid2d, posT, qT, oh2T,
+      bitsT, oidT, box)
     # drop the trash tile pad entries target
     return rows[:n_tiles * ts], colacc
 
@@ -1528,11 +1563,12 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
             # rebuild; dropping the cond removes ~60-90 us/step of XLA
             # conditional operand/result copies around the kernel.
             def _plist_branch(a):
+                # a = tri_args; the stacked tables come from the cache
                 return _run_plist(
-                    cache.plist, a[0], a[1], a[2], a[3], a[5], a[6], a[7],
-                    a[8], a[9], a[10], a[12], a[13], a[14],
+                    cache.plist, a[0], a[1], cache.ab2, a[3], a[5], a[7],
+                    a[8], cache.oh2T, a[10], a[12], a[14],
                     beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
-                    n_real=n, t_dim=t_dim, want_energy=want_energy,
+                    n_real=n, want_energy=want_energy,
                     interpret=interpret, r_switch=float(r_switch))
 
             if strict:
