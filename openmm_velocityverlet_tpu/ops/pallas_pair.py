@@ -403,6 +403,7 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
 # (2.276 vs 1.959 ms/step) — Mosaic's own f32 decomposition beats the
 # hand-split here because the extra passes defeat operand reuse.  Kept as
 # an opt-in flag for future hardware; default off.
+MXU_ROW_REDUCE = False  # row-sum the force blocks on the MXU instead of VPU lane reductions
 LJ_DOT_BF16 = False
 
 
@@ -652,22 +653,21 @@ def _pair_tri_kernel(pos_rows_ref, q_rows_ref, ab_rows_ref, bits_rows_ref,
                 delta = oidT_ref[:, pl.ds(col0, ts)] - oid_rows_ref[:, :]
             else:
                 delta = col_ids - row_ids
-            bits_rows = bits_rows_ref[:, :]
-            bits_col = bitsT_ref[:, pl.ds(col0, ts)]
-            dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
-            dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
-            excl = (((bits_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
-                   (delta <= MAX_EXCL_OFFSET)
-            excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
-                    (delta >= -MAX_EXCL_OFFSET)
+            # masks are recorded at the LOWER original index: select that
+            # side's bits by the sign of delta, test |delta| (one select +
+            # one shift; see the plist kernel)
+            side = delta >= 0
+            dabs = jnp.abs(delta)
+            dsh = jnp.minimum(dabs, MAX_EXCL_OFFSET)
+            window = dabs <= MAX_EXCL_OFFSET
             alive = delta != 0
+            bits_lo = jnp.where(side, bits_rows_ref[:, :],
+                                bitsT_ref[:, pl.ds(col0, ts)])
+            excl = (((bits_lo >> dsh) & 1) > 0) & window & alive
             if has14:
-                b14_rows = bits14_rows_ref[:, :]
-                b14_col = bits14T_ref[:, pl.ds(col0, ts)]
-                is14 = (((b14_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
-                       (delta <= MAX_EXCL_OFFSET)
-                is14 |= (((b14_col >> dbwd) & 1) > 0) & (delta <= -1) & \
-                        (delta >= -MAX_EXCL_OFFSET)
+                b14_lo = jnp.where(side, bits14_rows_ref[:, :],
+                                   bits14T_ref[:, pl.ds(col0, ts)])
+                is14 = (((b14_lo >> dsh) & 1) > 0) & window & alive
 
         onehot_c = onehotT_ref[:, pl.ds(col0, ts)]
         a = _onehot_dot(a_rows, onehot_c)
@@ -1097,16 +1097,19 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab2_rows_ref,
         r2 = dx * dx + dy * dy + dz * dz
 
         if test_excl:
+            # an exclusion (oid_lo, oid_lo + d), d in 1..31, is recorded at
+            # the LOWER original index, so exactly one side's bitmask can
+            # hold the pair: select it by the sign of delta and test |delta|
+            # — one select + one shift instead of the two-directional
+            # clip/shift/mask chain
             delta = oidT_ref[:, pl.ds(col0, ts)] - oid_rows_ref[:, :]
-            bits_rows = bits_rows_ref[:, :]
-            bits_col = bitsT_ref[:, pl.ds(col0, ts)]
-            dfwd = jnp.clip(delta, 1, MAX_EXCL_OFFSET)
-            dbwd = jnp.clip(-delta, 1, MAX_EXCL_OFFSET)
-            excl = (((bits_rows >> dfwd) & 1) > 0) & (delta >= 1) & \
-                   (delta <= MAX_EXCL_OFFSET)
-            excl |= (((bits_col >> dbwd) & 1) > 0) & (delta <= -1) & \
-                    (delta >= -MAX_EXCL_OFFSET)
+            bits_lo = jnp.where(delta >= 0, bits_rows_ref[:, :],
+                                bitsT_ref[:, pl.ds(col0, ts)])
+            dabs = jnp.abs(delta)
+            dsh = jnp.minimum(dabs, MAX_EXCL_OFFSET)
+            excl = (((bits_lo >> dsh) & 1) > 0) & (dabs <= MAX_EXCL_OFFSET)
             alive = delta != 0
+            excl &= alive
 
         # one stacked MXU dot selects a, b (and the group mask) — see
         # PairCache.ab2
@@ -1163,9 +1166,23 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab2_rows_ref,
             in_range = r2 < r_cutoff * r_cutoff
             f_s = jnp.where(in_range, f_lj + f_c, zero)
 
-        fx = jnp.sum(f_s * dx, axis=1, keepdims=True)
-        fy = jnp.sum(f_s * dy, axis=1, keepdims=True)
-        fz = jnp.sum(f_s * dz, axis=1, keepdims=True)
+        fdx = f_s * dx
+        fdy = f_s * dy
+        fdz = f_s * dz
+        if MXU_ROW_REDUCE:
+            # row (lane-axis) reductions as one MXU matvec: the VPU's
+            # cross-lane reduction of three (ts, ts) blocks is the pricier
+            # form; a (3ts, ts) x (ts, 1) dot does it in one MXU pass
+            stack = jnp.concatenate([fdx, fdy, fdz], axis=0)
+            rsum = jnp.dot(stack, jnp.ones((ts, 1), jnp.float32),
+                           preferred_element_type=jnp.float32)
+            fx = rsum[:ts]
+            fy = rsum[ts:2 * ts]
+            fz = rsum[2 * ts:]
+        else:
+            fx = jnp.sum(fdx, axis=1, keepdims=True)
+            fy = jnp.sum(fdy, axis=1, keepdims=True)
+            fz = jnp.sum(fdz, axis=1, keepdims=True)
         if want_energy:
             half = jnp.where(diag, 0.5, 1.0)
             if test_excl:
@@ -1187,9 +1204,9 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab2_rows_ref,
 
         @pl.when(jnp.logical_not(diag))
         def _acc_cols():
-            gx = -jnp.sum(f_s * dx, axis=0, keepdims=True)
-            gy = -jnp.sum(f_s * dy, axis=0, keepdims=True)
-            gz = -jnp.sum(f_s * dz, axis=0, keepdims=True)
+            gx = -jnp.sum(fdx, axis=0, keepdims=True)
+            gy = -jnp.sum(fdy, axis=0, keepdims=True)
+            gz = -jnp.sum(fdz, axis=0, keepdims=True)
             cur = colacc_ref[:, pl.ds(col0, ts)]
             upd = jnp.concatenate(
                 [gx, gy, gz, jnp.zeros((5, ts), jnp.float32)], axis=0)

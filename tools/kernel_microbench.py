@@ -78,24 +78,14 @@ def main():
         axis=0)[cache.perm]
     posT = pos_pad.T
 
-    run = functools.partial(
-        pallas_pair._run_plist, cache.plist, pos_pad, cache.q2d, cache.ab,
-        cache.bits2d, cache.oidT.reshape(-1, 1), cache.grows, posT, cache.qT,
-        cache.onehotT, cache.bitsT, cache.oidT, cache.gonehotT,
-        jnp.asarray(box, jnp.float32).reshape(3),
-        beta=float(s.ewald_beta), r_cutoff=float(s.r_cutoff), ts=ts,
-        n_real=s.n_atoms, t_dim=int(cache.onehotT.shape[0]),
-        r_switch=float(s.r_switch))
-
     def bench(label, plist_arg, we=False):
         r = functools.partial(
-            pallas_pair._run_plist, plist_arg, pos_pad, cache.q2d, cache.ab,
-            cache.bits2d, cache.oidT.reshape(-1, 1), cache.grows, posT,
-            cache.qT, cache.onehotT, cache.bitsT, cache.oidT, cache.gonehotT,
+            pallas_pair._run_plist, plist_arg, pos_pad, cache.q2d,
+            cache.ab2, cache.bits2d, cache.oidT.reshape(-1, 1), posT,
+            cache.qT, cache.oh2T, cache.bitsT, cache.oidT,
             jnp.asarray(box, jnp.float32).reshape(3),
             beta=float(s.ewald_beta), r_cutoff=float(s.r_cutoff), ts=ts,
-            n_real=s.n_atoms, t_dim=int(cache.onehotT.shape[0]),
-            r_switch=float(s.r_switch))
+            n_real=s.n_atoms, r_switch=float(s.r_switch))
         rows, colacc = r(want_energy=we)
         jax.block_until_ready(rows)
         t0 = time.time()
@@ -115,6 +105,11 @@ def main():
     # what the exclusion integer ops cost across the flagged 43% of tiles
     noex = jnp.asarray(plist_np & ~np.int32(2))
     bench("probe: no exclusion ops", noex)
+    pallas_pair.MXU_ROW_REDUCE = True
+    r2_, c2_ = bench("mxu-row-reduce", cache.plist)
+    pallas_pair.MXU_ROW_REDUCE = False
+    print("  mxu rel err:", float(np.nanmax(np.abs(r2_ - r0)
+          / np.maximum(np.abs(r0), 1e-3))))
 
 
 if __name__ == "__main__":
