@@ -441,7 +441,12 @@ class Context:
         has_extra = has_ld or has_ef or has_cos
         has_cons = cons.n_constraints > 0
         baro_cfg = self.barostat_cfg
-        mol_runs = stepping.mol_runs_from_id(sysm.particle_mol_id)
+        # COM-inert tail (EDL image atoms: massless, outside every NH temp
+        # group, mol ids reused from their mirrored molecules) — lets the
+        # gather-free runs path cover the real-molecule prefix
+        mol_runs = stepping.mol_runs_from_id(
+            sysm.particle_mol_id,
+            tail_inert=(masses == 0.0) & ~np.asarray(data.nh_mask))
 
         def extra_forces(pos, vel, box, key, ld_as_force=True):
             f = jnp.zeros_like(pos)

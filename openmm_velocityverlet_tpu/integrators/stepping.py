@@ -72,21 +72,46 @@ def kinetic_energy(vel, masses):
     return 0.5 * jnp.sum(masses[:, None] * vel * vel)
 
 
-def mol_runs_from_id(mol_id):
+def mol_runs_from_id(mol_id, tail_inert=None):
     """Contiguous-molecule runs [(atom_start, n_mol, atoms_per_mol), ...].
 
     PSF atom order keeps every molecule contiguous and molecules sorted, so
     per-molecule reductions become plain reshapes — no (M, Mmax) member
     gather (~37k rows/step at 19.5k atoms) and no (N,) mol_id gather for the
     broadcast back.  Returns None when the layout doesn't hold (callers then
-    use the dense-table fallback)."""
+    use the dense-table fallback).
+
+    ``tail_inert`` (N,) bool extends the layout to the EDL wiring, where the
+    image atoms appended after the real molecules REUSE the mol ids of their
+    mirrored IL molecules (run-edl image bookkeeping): when every molecule is
+    complete within the sorted prefix and every atom past it is COM-inert
+    (massless AND outside all NH temp groups — the caller's mask), the runs
+    cover the prefix exactly: the tail contributes zero to every COM and the
+    broadcast back is never read at tail rows, so mol_broadcast zero-fills
+    them.  Without this, the real edl_Im21 fell to the dense (1026, 624)
+    member-table gather: 0.86 ms gather + 0.44 ms reduce per step on device
+    (results/profile_edl_r5.txt)."""
     mid = np.asarray(mol_id)
-    if mid.size == 0 or np.any(np.diff(mid) < 0):
+    if mid.size == 0:
         return None
-    starts = np.flatnonzero(np.r_[True, np.diff(mid) != 0])
-    if not np.array_equal(mid[starts], np.arange(starts.size)):
+    d = np.diff(mid)
+    desc = np.flatnonzero(d < 0)
+    if desc.size == 0:
+        n_prefix = mid.size
+    else:
+        # candidate prefix ends at the first descent; valid only when the
+        # whole tail is COM-inert
+        n_prefix = int(desc[0]) + 1
+        if tail_inert is None or not bool(np.all(tail_inert[n_prefix:])):
+            return None
+    pre = mid[:n_prefix]
+    starts = np.flatnonzero(np.r_[True, np.diff(pre) != 0])
+    if not np.array_equal(pre[starts], np.arange(starts.size)):
         return None
-    counts = np.diff(np.r_[starts, mid.size])
+    if desc.size and int(pre[-1]) != int(mid.max()):
+        # a molecule exists only in the tail: the prefix COMs would miss it
+        return None
+    counts = np.diff(np.r_[starts, n_prefix])
     runs = []
     for s, c in zip(starts, counts):
         if runs and c == runs[-1][2]:
@@ -123,16 +148,22 @@ def com_velocities(vel, masses, mol_id, mol_inv_masses, mol_table=None,
     return mom * mol_inv_masses[:, None]
 
 
-def mol_broadcast(com, runs):
-    """Expand per-molecule rows (M,3) back to per-atom rows (N,3) for
-    contiguous runs — the no-gather replacement of com[mol_id]."""
+def mol_broadcast(com, runs, n=None):
+    """Expand per-molecule rows (M,3) back to per-atom rows for contiguous
+    runs — the no-gather replacement of com[mol_id].  When ``n`` exceeds the
+    runs' coverage (COM-inert tail, see mol_runs_from_id), the tail rows are
+    zero-filled: they are never read (the NH masks exclude those atoms)."""
     outs = []
     ms = 0
+    covered = 0
     for s, m, apm in runs:
         comps = [jnp.broadcast_to(com[ms:ms + m, c:c + 1],
                                   (m, apm)).reshape(-1) for c in range(3)]
         outs.append(jnp.stack(comps, -1))
         ms += m
+        covered = s + m * apm
+    if n is not None and n > covered:
+        outs.append(jnp.zeros((n - covered, 3), com.dtype))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
 
 
@@ -149,8 +180,8 @@ def nh_scale_velocities(vel, masses, inv_masses, mol_id, mol_masses,
     if data.use_com_temp_group:
         com = com_velocities(vel, masses, mol_id, mol_inv_masses,
                              mol_table, runs=mol_runs)  # (M,3)
-        com_b = (mol_broadcast(com, mol_runs) if mol_runs is not None
-                 else com[mol_id])
+        com_b = (mol_broadcast(com, mol_runs, n=vel.shape[0])
+                 if mol_runs is not None else com[mol_id])
         vel_rel = jnp.where(data.nh_mask[:, None], vel - com_b, vel)
     else:
         com = jnp.zeros((mol_masses.shape[0], 3), vel.dtype)
