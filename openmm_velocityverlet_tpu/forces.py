@@ -164,6 +164,17 @@ class ForceEvaluator:
         self.plist_sort = "morton"
         if pair_ts:
             self.pair_ts = int(pair_ts)
+            # a forced tile size still gets the sort-key choice (z slabs vs
+            # morton bricks) from the exact candidate enumeration — without
+            # this, forced-ts A/Bs silently switch narrow boxes to morton
+            if self.pair_mode == "plist" and pos_hint is not None \
+                    and box_hint is not None:
+                cnts = {key: pallas_pair.count_candidates_np(
+                            pos_hint, box_hint, self.pair_ts,
+                            system.r_cutoff + self.skin, mode=key,
+                            inert=self._inert_mask)
+                        for key in ("z", "morton")}
+                self.plist_sort = min(cnts, key=cnts.get)
         elif self.pair_mode == "plist":
             # jointly pick sort key and tile size minimizing (pair slots +
             # per-entry overhead) from the exact candidate enumeration of
