@@ -228,6 +228,18 @@ class ForceEvaluator:
                 self.plist_cap = min(full, int(cnt * 1.6) + 64)
             else:
                 self.plist_cap = full
+        # first-atom-frame ("nowrap") axes for the plist kernel: replace
+        # the per-pair minimum-image round-wrap with (ts,1)/(1,ts) wraps
+        # into the row tile's frame wherever the sort's tile extents fit
+        # inside L/2 - rc_cand (z-slab sorts qualify on z, Morton bricks
+        # often on all three).  Exactness is re-verified per step against
+        # current positions (pallas_pair.plist_coverage_bad).
+        self.plist_nowrap = (False, False, False)
+        if (self.pair_mode == "plist" and self.plist_cap > 0
+                and pos_hint is not None and box_hint is not None):
+            self.plist_nowrap = pallas_pair.nowrap_axes_np(
+                pos_hint, box_hint, self.pair_ts,
+                system.r_cutoff + self.skin, mode=self.plist_sort)
         self.pair_tables = allpairs.build_pair_tables(
             system.n_atoms, system.lj_type, system.acoef, system.bcoef,
             system.exclusions, system.lj_group, system.lj_group_allowed,
@@ -324,7 +336,7 @@ class ForceEvaluator:
                 jnp.asarray(self.system.charges), self.pair_tables,
                 self.pair_ts, mode=self.plist_sort, cap=self.plist_cap,
                 rc_cand=self.system.r_cutoff + self.skin,
-                inert=self._inert_mask)
+                inert=self._inert_mask, nowrap=self.plist_nowrap)
         return pallas_pair.make_pair_cache(
             self.place_vsites(pos_raw), box,
             jnp.asarray(self.system.charges), self.pair_tables, self.pair_ts,
@@ -341,7 +353,8 @@ class ForceEvaluator:
                 [pos, jnp.full((pad, 3), 1e6, jnp.float32)],
                 axis=0)[cache.perm]
             return pallas_pair.plist_coverage_bad(
-                pos_sorted, box, cache, self.pair_ts, self.system.r_cutoff)
+                pos_sorted, box, cache, self.pair_ts, self.system.r_cutoff,
+                nowrap=self.plist_nowrap)
         return pallas_pair.band_coverage_bad(
             pos, box, cache, self.pair_ts,
             self.band_w, self.system.r_cutoff)
@@ -449,7 +462,7 @@ class ForceEvaluator:
                     cache=pair_cache, with_flag=True, mode=self.pair_mode,
                     plist_cap=self.plist_cap, skin=self.skin,
                     plist_sort=self.plist_sort, r_switch=s.r_switch,
-                    strict=self.strict_pairs)
+                    strict=self.strict_pairs, nowrap=self.plist_nowrap)
         else:
             e_lj, e_coul_dir, e_corr, e14c, e14l, f_direct = \
                 allpairs.direct_space_dense(

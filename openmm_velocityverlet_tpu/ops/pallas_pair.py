@@ -32,6 +32,13 @@ from .allpairs import lj_switch
 _SQRT_PI = 1.7724538509055159
 MAX_EXCL_OFFSET = 31
 
+# Safety slack (nm) for the first-atom-frame minimum image on "nowrap"
+# axes: the tile-extent budgets subtract this on top of rc_cand, covering
+# extent drift between the build-time check and the per-step coverage
+# re-check (bounded by the staleness trigger at well under 0.1 nm).  See
+# _plist_kernel's _wrap.
+NOWRAP_SLACK = 0.2
+
 
 @functools.lru_cache(maxsize=8)
 def _pfit(beta: float, r_cutoff: float, deg: int = 10):
@@ -244,7 +251,8 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
                     mode: str = "z", cap: int = 0,
                     rc_cand: float = 0.0,
                     tile_multiple: int = 1,
-                    inert=None) -> PairCache:
+                    inert=None,
+                    nowrap=(False, False, False)) -> PairCache:
     """Sort atoms spatially and permute every static table (device-side;
     call under jit, e.g. inside the step's refresh branch).
 
@@ -358,6 +366,23 @@ def make_pair_cache(pos, box, charges, tables, ts: int = 512,
         # index caps the kernel at 16,384 tiles (~2M atoms at ts=128)
         assert n_tiles < (1 << 14), "plist packing: too many tiles"
         plist = (i_t << 17) | (j_t << 3) | flags
+        if any(nowrap):
+            # verify the kernel's first-atom-frame budget on the nowrap
+            # axes (see _plist_kernel's _wrap): every nonempty tile's tight
+            # extent must fit L/2 - rc_cand - slack.  Violations fold into
+            # ``overflow`` (coverage-bad -> fallback + rebuild); the
+            # host-side axis choice carries enough margin that this never
+            # trips in practice.
+            ext = hi - lo                                      # (T,3)
+            budget = (0.5 * box_arr - jnp.float32(rc_cand)
+                      - NOWRAP_SLACK)
+            frame_bad = jnp.zeros((), bool)
+            for ax in range(3):
+                if not nowrap[ax]:
+                    continue
+                frame_bad = frame_bad | jnp.any(
+                    nonempty & (ext[:, ax] > budget[ax]))
+            overflow = overflow | frame_bad
     onehotT = onehot2d[perm].T
     gonehotT = gonehot2d[perm].T
     ab2 = oh2T = None
@@ -947,12 +972,17 @@ def band_coverage_bad(pos, box, cache: PairCache, ts: int, band_w: int,
 
 
 def plist_coverage_bad(pos_sorted, box, cache: PairCache, ts: int,
-                       r_cutoff: float):
+                       r_cutoff: float, nowrap=(False, False, False)):
     """True (device bool) when the tile-pair-list sweep would MISS an
     interacting pair for CURRENT positions: some non-candidate tile pair's
     circular AABBs (recomputed now, under the cached permutation) come
     within the cutoff.  Exact regardless of drift — moving atoms only
-    widen the intervals tested.  Also trips on build-time list overflow."""
+    widen the intervals tested.  Also trips on build-time list overflow,
+    and — when the kernel runs with nowrap axes — on any tile whose
+    CURRENT tight extent outgrows the first-atom-frame budget
+    (L/2 - rc - NOWRAP_SLACK; the build used the tighter rc_cand form, so
+    a trip here means real drift, caught a full slack margin before the
+    frame could actually go stale)."""
     n_pad = cache.perm.shape[0]
     n_tiles = n_pad // ts
     box_arr = jnp.asarray(box, jnp.float32).reshape(3)
@@ -968,18 +998,21 @@ def plist_coverage_bad(pos_sorted, box, cache: PairCache, ts: int,
         pair_ok = pair_ok & ~(cache.tile_inert[:, None]
                               & cache.tile_inert[None, :])
     bad = (~cache.cand) & pair_ok & (d2 <= jnp.float32(r_cutoff) ** 2)
-    return bad.any() | cache.overflow
+    out = bad.any() | cache.overflow
+    if any(nowrap):
+        ext = hi - lo                                           # (T,3)
+        budget = (0.5 * box_arr - jnp.float32(r_cutoff)
+                  - NOWRAP_SLACK)
+        for ax in range(3):
+            if not nowrap[ax]:
+                continue
+            out = out | jnp.any(nonempty & (ext[:, ax] > budget[ax]))
+    return out
 
 
-def count_candidates_np(pos, box, ts: int, rc_cand: float,
-                        mode: str = "morton", inert=None) -> int:
-    """Host-side (numpy) mirror of the AABB candidate enumeration under
-    the chosen sort key: the exact candidate tile-pair count for THIS
-    configuration.  Used to size the pair-list capacity at evaluator build
-    (cap = margin x count) and to pick the better sort key; the runtime
-    overflow flag + full-sweep fallback guard the margin."""
-    pos = np.asarray(pos, np.float64)
-    box = np.asarray(box, np.float64).reshape(3)
+def _tile_intervals_np(pos, box, ts, mode):
+    """Host-side (numpy) mirror of the sort + _tile_intervals chain:
+    returns (cmean, lo, hi, nonempty, order) with lo/hi relative to cmean."""
     n = pos.shape[0]
     n_pad = ((n + ts - 1) // ts) * ts
     n_tiles = n_pad // ts
@@ -1016,6 +1049,41 @@ def count_candidates_np(pos, box, ts: int, rc_cand: float,
     lo = np.where(nonempty[:, None], lo_w - cmean, 0.0)
     hi = np.where(nonempty[:, None], hi_w - cmean, 0.0)
     cmean = np.where(nonempty[:, None], cmean, 0.0)
+    return cmean, lo, hi, nonempty, order
+
+
+def nowrap_axes_np(pos, box, ts: int, rc_cand: float,
+                   mode: str = "morton"):
+    """Host-side choice of the plist kernel's first-atom-frame ("nowrap")
+    axes for THIS configuration snapshot (see _plist_kernel's _wrap): an
+    axis qualifies when the widest tile extent fits the budget
+    L/2 - rc_cand - 2*NOWRAP_SLACK.  Double the build-time slack so
+    post-init drift cannot flip the runtime checks; the per-step coverage
+    check still re-verifies against current positions."""
+    pos = np.asarray(pos, np.float64)
+    box = np.asarray(box, np.float64).reshape(3)
+    _, lo, hi, nonempty, _ = _tile_intervals_np(pos, box, ts, mode)
+    ext = (hi - lo)[nonempty]
+    if ext.shape[0] == 0:
+        return (False, False, False)
+    budget = 0.5 * box - rc_cand - 2.0 * NOWRAP_SLACK
+    return tuple(bool(ext[:, ax].max() <= budget[ax])
+                 for ax in range(3))
+
+
+def count_candidates_np(pos, box, ts: int, rc_cand: float,
+                        mode: str = "morton", inert=None) -> int:
+    """Host-side (numpy) mirror of the AABB candidate enumeration under
+    the chosen sort key: the exact candidate tile-pair count for THIS
+    configuration.  Used to size the pair-list capacity at evaluator build
+    (cap = margin x count) and to pick the better sort key; the runtime
+    overflow flag + full-sweep fallback guard the margin."""
+    pos = np.asarray(pos, np.float64)
+    box = np.asarray(box, np.float64).reshape(3)
+    n = pos.shape[0]
+    n_pad = ((n + ts - 1) // ts) * ts
+    n_tiles = n_pad // ts
+    cmean, lo, hi, nonempty, order = _tile_intervals_np(pos, box, ts, mode)
     delta = np.mod(cmean[None, :, :] - cmean[:, None, :] + 0.5 * box,
                    box) - 0.5 * box
     gap = np.where(delta >= 0,
@@ -1039,11 +1107,12 @@ def count_candidates_np(pos, box, ts: int, rc_cand: float,
     return int(np.sum(cand & (ii[None, :] >= ii[:, None])))
 
 
-def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab2_rows_ref,
-                  bits_rows_ref, oid_rows_ref, posT_ref, qT_ref,
-                  oh2T_ref, bitsT_ref, oidT_ref, box_ref,
+def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref,
+                  ab2_rows_ref, bits_rows_ref, oid_rows_ref, posT_ref,
+                  qT_ref, oh2T_ref, bitsT_ref, oidT_ref, box_ref,
                   rows_ref, colacc_ref, *, ts, beta, r_cutoff,
-                  use_groups, want_energy, pcoef, r_switch=0.0):
+                  use_groups, want_energy, pcoef, r_switch=0.0,
+                  nowrap=(False, False, False)):
     """AABB-culled tile-pair-list sweep (mode="plist" of the sorted-layout
     family; see _pair_tri_kernel for the shared math and layout doc).
 
@@ -1088,12 +1157,28 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab2_rows_ref,
         cz = cpos[2:3, :]
         qcol = qT_ref[:, pl.ds(col0, ts)]
 
-        dx = px - cx
-        dx = dx - bx * jnp.round(dx * (1.0 / bx))
-        dy = py - cy
-        dy = dy - by * jnp.round(dy * (1.0 / by))
-        dz = pz - cz
-        dz = dz - bz * jnp.round(dz * (1.0 / bz))
+        # minimum image: on a "nowrap" axis, wrap the row (ts,1) and column
+        # (1,ts) positions into the frame centered on the row tile's FIRST
+        # atom, then subtract plainly — exact whenever the row tile's tight
+        # extent fits L/2 - rc (verified at cache build and re-verified per
+        # step by plist_coverage_bad): a wrong-image pair then sits beyond
+        # the cutoff under BOTH the computed and the true metric.  This
+        # replaces the per-pair round-wrap chain (4 VPU ops on (ts,ts)
+        # data) with 8 ops on (ts,1)/(1,ts) data — ~1/ts the work — and is
+        # insensitive to raw (unwrapped) coordinates, unlike any
+        # precomputed per-tile-pair shift.
+        def _wrap(pa, ca, ba, ax):
+            if nowrap[ax]:
+                c0 = pa[0:1, 0:1]
+                paf = pa - ba * jnp.round((pa - c0) * (1.0 / ba))
+                caf = ca - ba * jnp.round((ca - c0) * (1.0 / ba))
+                return paf - caf
+            da = pa - ca
+            return da - ba * jnp.round(da * (1.0 / ba))
+
+        dx = _wrap(px, cx, bx, 0)
+        dy = _wrap(py, cy, by, 1)
+        dz = _wrap(pz, cz, bz, 2)
         r2 = dx * dx + dy * dy + dz * dz
 
         if test_excl:
@@ -1230,11 +1315,11 @@ def _plist_kernel(plist_ref, pos_rows_ref, q_rows_ref, ab2_rows_ref,
 @functools.partial(jax.jit,
                    static_argnames=("beta", "r_cutoff", "ts", "n_real",
                                     "want_energy", "interpret",
-                                    "r_switch"))
+                                    "r_switch", "nowrap"))
 def _run_plist(plist, pos2d, q2d, ab2, bits2d, oid2d, posT, qT,
                oh2T, bitsT, oidT, box, beta, r_cutoff, ts,
                n_real, want_energy=False, interpret=False,
-               r_switch=0.0):
+               r_switch=0.0, nowrap=(False, False, False)):
     n_pad = posT.shape[1]
     n_tiles = n_pad // ts
     cap = plist.shape[0]
@@ -1244,7 +1329,8 @@ def _run_plist(plist, pos2d, q2d, ab2, bits2d, oid2d, posT, qT,
     kernel = functools.partial(
         _plist_kernel, ts=ts, beta=beta, r_cutoff=r_cutoff,
         use_groups=use_groups, want_energy=want_energy,
-        pcoef=_pfit_scaled(float(beta), float(r_cutoff)), r_switch=r_switch)
+        pcoef=_pfit_scaled(float(beta), float(r_cutoff)), r_switch=r_switch,
+        nowrap=nowrap)
     def _row(p, pref):
         return (pref[p] >> 17, 0)
 
@@ -1468,7 +1554,8 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                         with_flag: bool = False, mode: str = "band",
                         plist_cap: int = 0, skin: float = 0.1,
                         plist_sort: str = "morton", r_switch: float = 0.0,
-                        strict: bool = True):
+                        strict: bool = True,
+                        nowrap=(False, False, False)):
     """Drop-in replacement for allpairs.direct_space_dense on TPU.
 
     symmetric=True runs the upper-triangle kernel (half the pair work via
@@ -1514,7 +1601,7 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         if cache is None or cache.plist is None:
             cache = make_pair_cache(pos, box_arr, charges, tables, ts,
                                     mode=plist_sort, cap=plist_cap,
-                                    rc_cand=r_cutoff + skin)
+                                    rc_cand=r_cutoff + skin, nowrap=nowrap)
         invperm = cache.invperm
         pos2d = pos2d[cache.perm]
         q2d, ab, bits2d, grows = cache.q2d, cache.ab, cache.bits2d, \
@@ -1524,7 +1611,8 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
         qT, bitsT, oidT = cache.qT, cache.bitsT, cache.oidT
         bits14T = cache.bits14T
         onehotT, gonehotT = cache.onehotT, cache.gonehotT
-        flag = plist_coverage_bad(pos2d, box_arr, cache, ts, r_cutoff)
+        flag = plist_coverage_bad(pos2d, box_arr, cache, ts, r_cutoff,
+                                  nowrap=nowrap)
     elif use_band:
         if cache is None:
             cache = make_pair_cache(pos, box_arr, charges, tables, ts)
@@ -1586,7 +1674,8 @@ def direct_space_pallas(pos, box, charges, tables, beta, r_cutoff,
                     a[8], cache.oh2T, a[10], a[12], a[14],
                     beta=float(beta), r_cutoff=float(r_cutoff), ts=ts,
                     n_real=n, want_energy=want_energy,
-                    interpret=interpret, r_switch=float(r_switch))
+                    interpret=interpret, r_switch=float(r_switch),
+                    nowrap=nowrap)
 
             if strict:
                 rows, colacc = jax.lax.cond(

@@ -241,6 +241,124 @@ def test_pallas_plist_overflow_falls_back_exact():
                                rtol=1e-3, atol=5e-2)
 
 
+@pytest.mark.parametrize("want_energy", [True, False])
+def _grid_mol_system(rng, nx=4, ny=4, nz=24, lz=12.0, apm=4):
+    """Like _mol_system but with molecule centers on a jittered grid, so
+    non-excluded pairs keep >= ~0.25 nm separation — a PHYSICAL config.
+    The random placement of _mol_system produces r -> 0 overlaps whose
+    clamped forces (~1e17) amplify any harmless change in the f32 distance
+    arithmetic beyond any usable comparison tolerance."""
+    n_mol = nx * ny * nz
+    n = n_mol * apm
+    T = 3
+    lj_type = rng.integers(0, T, n)
+    sig = rng.uniform(0.25, 0.4, T)
+    eps = rng.uniform(0.1, 1.0, T)
+    a = np.sqrt(np.outer(eps, eps)) ** 0.5 * np.outer(sig, sig) ** 3 * 2.0
+    b = 2.0 * np.sqrt(np.outer(eps, eps)) * np.outer(sig, sig) ** 3 * 2.0
+    excl = np.full((n, apm - 1), -1, np.int64)
+    box = np.array([3.0, 3.0, lz], np.float32)
+    spacing = box / (nx, ny, nz)
+    pos = np.zeros((n, 3))
+    m = 0
+    for ix in range(nx):
+        for iy in range(ny):
+            for iz in range(nz):
+                base = m * apm
+                center = (np.array([ix, iy, iz]) + 0.5) * spacing \
+                    + rng.uniform(-0.06, 0.06, 3)
+                for k in range(apm):
+                    i = base + k
+                    pos[i] = center + rng.normal(0, 0.04, 3)
+                    for j in range(i + 1, base + apm):
+                        excl[i, j - i - 1] = j
+                m += 1
+    q = rng.normal(0, 0.5, n)
+    return lj_type, a, b, excl, pos, box, q
+
+
+@pytest.mark.parametrize("want_energy", [True, False])
+def test_pallas_plist_nowrap_matches_dense(want_energy):
+    """First-atom-frame minimum image on the z axis (nowrap, the z-slab
+    production configuration) == dense sweep, on a tall box where tile
+    pairs straddle the z wrap, with raw positions deliberately shifted out
+    of [0, L) to exercise arbitrary per-atom wrap counts."""
+    rng = np.random.default_rng(3)
+    lj_type, a, b, excl, pos, box, q = _grid_mol_system(rng)
+    # push some molecules outside [0, L): the kernel must be insensitive
+    # to raw (unwrapped) coordinates
+    pos[: 200 * 4, 2] -= box[2]
+    pos[200 * 4: 260 * 4, 2] += 2.0 * box[2]
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl,
+                                        fold_exc14=False)
+    beta, rc = 2.2, 1.2
+    nowrap = pallas_pair.nowrap_axes_np(pos, box, 128, rc + 0.1, mode="z")
+    assert nowrap == (False, False, True)
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    cnt = pallas_pair.count_candidates_np(pos, box, 128, rc + 0.1, mode="z")
+    cap = int(cnt * 1.6) + 16
+    e1 = allpairs.direct_space_dense(posj, box, qj, tables, beta, rc, 256)
+    e2 = pallas_pair.direct_space_pallas(
+        posj, box, qj, tables, beta, rc, ts=128, interpret=True,
+        mode="plist", plist_cap=cap, plist_sort="z",
+        want_energy=want_energy, nowrap=nowrap)
+    if want_energy:
+        for x, y in zip(e1[:3], e2[:3]):
+            np.testing.assert_allclose(float(y), float(x), rtol=5e-5,
+                                       atol=0.05)
+    # the frame changes dx arithmetic by ~1 ulp, which can flip the
+    # in-range classification of pairs sitting exactly AT the cutoff (the
+    # dense reference has the same sensitivity against exact math); mask
+    # atoms with a partner in that shell out of the force comparison
+    dr = pos[:, None, :] - pos[None, :, :]
+    dr -= box * np.round(dr / box)
+    r = np.sqrt((dr ** 2).sum(-1))
+    np.fill_diagonal(r, 1e9)
+    interior = ~(np.abs(r - rc) < 5e-4).any(axis=1)
+    assert interior.sum() > 0.5 * len(interior)
+    np.testing.assert_allclose(np.asarray(e2[5])[interior],
+                               np.asarray(e1[5])[interior],
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_pallas_plist_nowrap_bad_axis_falls_back_exact():
+    """A nowrap axis whose tile extents violate the first-atom-frame
+    budget must fold into the overflow flag at build and take the exact
+    full-sweep fallback (which never uses the frame)."""
+    rng = np.random.default_rng(12)
+    lj_type, a, b, excl, pos, box, q = _mol_system(384, rng)
+    tables = allpairs.build_pair_tables(len(lj_type), lj_type, a, b, excl,
+                                        fold_exc14=False)
+    beta, rc = 2.2, 1.2
+    # x extents span the full 3.0 box under a z sort: x cannot qualify
+    assert pallas_pair.nowrap_axes_np(pos, box, 128, rc + 0.1,
+                                      mode="z")[0] is False
+    posj = jnp.asarray(pos, jnp.float32)
+    qj = jnp.asarray(q, jnp.float32)
+    bad_nowrap = (True, False, True)
+    cnt = pallas_pair.count_candidates_np(pos, box, 128, rc + 0.1, mode="z")
+    cap = int(cnt * 1.6) + 16
+    cache = pallas_pair.make_pair_cache(posj, box, qj, tables, 128,
+                                        mode="z", cap=cap, rc_cand=rc + 0.1,
+                                        nowrap=bad_nowrap)
+    assert bool(cache.overflow)
+    n = posj.shape[0]
+    pad = cache.perm.shape[0] - n
+    pos_sorted = jnp.concatenate(
+        [posj, jnp.full((pad, 3), 1e6, jnp.float32)], axis=0)[cache.perm]
+    assert bool(pallas_pair.plist_coverage_bad(
+        pos_sorted, box, cache, 128, rc, nowrap=bad_nowrap))
+    e1 = allpairs.direct_space_dense(posj, box, qj, tables, beta, rc, 256)
+    e2 = pallas_pair.direct_space_pallas(
+        posj, box, qj, tables, beta, rc, ts=128, interpret=True,
+        mode="plist", plist_cap=cap, cache=cache, nowrap=bad_nowrap)
+    for x, y in zip(e1[:3], e2[:3]):
+        np.testing.assert_allclose(float(y), float(x), rtol=5e-5, atol=0.05)
+    np.testing.assert_allclose(np.asarray(e2[5]), np.asarray(e1[5]),
+                               rtol=1e-3, atol=5e-2)
+
+
 def test_pallas_exc14_matches_dense_and_term_pass():
     """Kernel-handled 1-4 exceptions: pallas == dense == sparse-term-pass
     reference, energies and forces."""

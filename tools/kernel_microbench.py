@@ -85,7 +85,8 @@ def main():
             cache.qT, cache.oh2T, cache.bitsT, cache.oidT,
             jnp.asarray(box, jnp.float32).reshape(3),
             beta=float(s.ewald_beta), r_cutoff=float(s.r_cutoff), ts=ts,
-            n_real=s.n_atoms, r_switch=float(s.r_switch))
+            n_real=s.n_atoms, r_switch=float(s.r_switch),
+            nowrap=fe.plist_nowrap)
         rows, colacc = r(want_energy=we)
         jax.block_until_ready(rows)
         t0 = time.time()
@@ -100,6 +101,13 @@ def main():
         return np.asarray(rows), np.asarray(colacc)
 
     r0, c0 = bench("baseline  want_energy=False", cache.plist)
+    if any(fe.plist_nowrap):
+        saved = fe.plist_nowrap
+        fe.plist_nowrap = (False, False, False)
+        rw, cw = bench("probe: per-pair wrap on all axes", cache.plist)
+        fe.plist_nowrap = saved
+        print("  nowrap rel err:", float(np.nanmax(np.abs(rw - r0)
+              / np.maximum(np.abs(r0), 1e-3))))
     bench("want_energy=True", cache.plist, we=True)
     # perf probe (NOT physics-correct): clear the has_ex flags to measure
     # what the exclusion integer ops cost across the flagged 43% of tiles
