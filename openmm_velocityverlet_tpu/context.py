@@ -124,12 +124,28 @@ class Context:
         if box is None:
             raise ValueError("box is required")
         box = np.asarray(box, np.float32)
+        # constant-voltage image layout: when the image block is one
+        # contiguous trailing mirror of one contiguous parent block (the
+        # standard run-edl wiring), the exact-k reciprocal derives the
+        # image structure factor from the parents' by a static transform
+        # (ewald.reciprocal_energy mirror doc) — no image atom pass
+        image_mirror = None
+        ip = np.asarray(self.data.image_pairs)
+        if ip.shape[0] and mesh is None:
+            k = ip.shape[0]
+            img0, par0 = int(ip[0, 0]), int(ip[0, 1])
+            if (img0 + k == system.n_atoms
+                    and np.array_equal(ip[:, 0], np.arange(img0, img0 + k))
+                    and np.array_equal(ip[:, 1], np.arange(par0, par0 + k))
+                    and par0 + k <= img0):
+                image_mirror = (img0, par0, k,
+                                float(self.data.mirror_location))
         self.evaluator = ForceEvaluator(
             system, external_forces, ewald_chunk=ewald_chunk,
             row_block=row_block, pair_ts=pair_ts, fold_exc14=fold_exc14,
             recip=recip, box_hint=box, pos_hint=positions,
             mesh=mesh, mesh_axis=mesh_axis, pallas_interpret=pallas_interpret,
-            strict_pairs=strict_pairs)
+            strict_pairs=strict_pairs, image_mirror=image_mirror)
 
         n = system.n_atoms
         self.cons = cons_mod.build_constraint_data(
@@ -187,9 +203,13 @@ class Context:
         vol = float(st.box[0] * st.box[1] * st.box[2])
         baro = baro_mod.make_barostat_state(vol)
         n = self.system.n_atoms
+        # the middle scheme never reads the cached-forces carry (it
+        # recomputes forces at the top of every step); zero-size arrays
+        # keep two dead (N,3) buffers out of the step while-loop carry
+        nf = 0 if self.data.use_middle else n
         carry = Carry(state=st, baro=baro,
-                      forces=jnp.zeros((n, 3), f32),
-                      forces_extra=jnp.zeros((n, 3), f32),
+                      forces=jnp.zeros((nf, 3), f32),
+                      forces_extra=jnp.zeros((nf, 3), f32),
                       forces_valid=jnp.zeros((), bool),
                       cov_bad=jnp.zeros((), bool))
         if self.mesh is not None:

@@ -89,11 +89,18 @@ class ForceEvaluator:
                  fold_exc14: bool = False, recip: str = "auto",
                  mesh=None, mesh_axis: str = "atoms",
                  pallas_interpret: bool = False,
-                 strict_pairs: bool = False, **_legacy):
+                 strict_pairs: bool = False, image_mirror=None, **_legacy):
         self.system = system
         self.external_forces = list(external_forces)
         self.ewald_chunk = ewald_chunk
         self.row_block = row_block
+        # (img0, par0, count, mirror_z) when the constant-voltage image
+        # block is a contiguous trailing mirror of a contiguous parent
+        # block: the exact-k reciprocal then derives the image structure
+        # factor from the parents' by a static transform instead of an
+        # atom pass (ewald.reciprocal_energy mirror doc) — halves the
+        # reciprocal's atom work at EDL
+        self.image_mirror = image_mirror
         # strict_pairs=True restores the in-step exact full-sweep fallback
         # (a lax.cond) when the pair-list coverage check trips; the default
         # accepts the standard Verlet-buffer semantics — the flagged step
@@ -382,7 +389,7 @@ class ForceEvaluator:
             else:
                 terms["coul_recip"] = ewald.reciprocal_energy(
                     pos, box, s.charges, s.ewald_beta, s.kmax,
-                    chunk=self.ewald_chunk)
+                    chunk=self.ewald_chunk, mirror=self.image_mirror)
         if s.cmap_atoms.shape[0] > 0:
             # CMAP cross-terms (oplspsffile.py:1134-1169, force group 3):
             # term counts are tiny, so the jax.grad force path costs

@@ -469,9 +469,23 @@ def update_image_positions(pos, data: IntegratorData):
     (updateImagePositions, imageCharge.cu:2-28)."""
     if data.image_pairs.shape[0] == 0:
         return pos
-    # per-atom parent table (scatter-free): images gather their parent row
     n = pos.shape[0]
     ip = np.asarray(data.image_pairs)
+    k = ip.shape[0]
+    img0, par0 = int(ip[0, 0]), int(ip[0, 1])
+    if (np.array_equal(ip[:, 0], np.arange(img0, img0 + k)) and
+            np.array_equal(ip[:, 1], np.arange(par0, par0 + k))):
+        # the standard EDL layout: images are one contiguous block
+        # mirroring one contiguous parent block in order (run-edl wiring)
+        # — static slices + concat run at copy bandwidth instead of a
+        # full-N row gather (~55 us at 40k on v5e)
+        pp = jax.lax.slice_in_dim(pos, par0, par0 + k)
+        new = jnp.concatenate(
+            [pp[:, 0:2], 2.0 * data.mirror_location - pp[:, 2:3]], axis=1)
+        return jnp.concatenate(
+            [pos[:img0], new, pos[img0 + k:]], axis=0)
+    # general layout: per-atom parent table (scatter-free) — images gather
+    # their parent row
     parent_of = np.arange(n, dtype=np.int32)
     parent_of[ip[:, 0]] = ip[:, 1]
     is_img = np.zeros(n, bool)

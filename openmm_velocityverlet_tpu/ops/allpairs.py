@@ -254,6 +254,26 @@ def build_pair_tables(n_atoms, lj_type, acoef, bcoef, exclusions,
             out["residual_qq"] = ((np.float32(ONE_4PI_EPS0)
                                    * q32[residual[:, 0]])
                                   * q32[residual[:, 1]])
+        # atom-major incidence for the residual force accumulation: the
+        # involved-atom set is tiny (at EDL, ~2.5k electrode atoms for
+        # R = 13,448 pairs), so gathering each atom's incident pair forces
+        # and ONE compact scatter replaces two full-list scatter-adds
+        # (two ~140 us scatters at EDL; see pallas_pair.residual_adjustment)
+        incid = {}
+        for p, (pi, pj) in enumerate(np.asarray(residual)):
+            incid.setdefault(int(pi), []).append((p, 1.0))
+            incid.setdefault(int(pj), []).append((p, -1.0))
+        atoms = np.fromiter(sorted(incid), np.int32)
+        amax = max(len(v) for v in incid.values())
+        res_incid = np.full((atoms.size, amax), -1, np.int32)
+        res_sign = np.zeros((atoms.size, amax), np.float32)
+        for r_, at in enumerate(atoms):
+            for k, (p, sgn) in enumerate(incid[int(at)]):
+                res_incid[r_, k] = p
+                res_sign[r_, k] = sgn
+        out["res_atoms"] = atoms
+        out["res_incid"] = res_incid
+        out["res_sign"] = res_sign
     return out
 
 

@@ -50,6 +50,11 @@ class ConstraintData:
     # per-slot layout, and membership mask
     atom_slot: jnp.ndarray = None    # (N,) i32
     atom_in_cluster: jnp.ndarray = None  # (N,) bool
+    # all buckets' gid tables concatenated a-major (the flat_base layout):
+    # the solvers gather x[gid_all] ONCE and slice per bucket/slot — one
+    # device gather instead of sum(A) small ones (TPU row gathers run at
+    # ~9 GB/s, so count matters more than bytes)
+    gid_all: jnp.ndarray = None      # (F,) i32
     tolerance: float = struct.field(pytree_node=False, default=1e-5)
     max_iterations: int = struct.field(pytree_node=False, default=150)
     use_clusters: bool = struct.field(pytree_node=False, default=False)
@@ -174,11 +179,14 @@ def build_constraint_data(pairs, dists, inv_masses, tolerance=1e-5,
             flat_base += A * ncl
         buckets = tuple(bucket_list)
 
+    gid_all = (np.concatenate([bk["gid"].reshape(-1) for bk in buckets])
+               if buckets else np.zeros((0,), np.int32))
     return ConstraintData(
         pairs=pairs, dist=dists, inv_mass_sum=inv_mass_sum,
         atom_cons=atom_cons, atom_sign=atom_sign,
         buckets=buckets, atom_slot=atom_slot,
         atom_in_cluster=atom_in_cluster,
+        gid_all=jnp.asarray(gid_all, jnp.int32),
         use_clusters=bool(use_clusters),
         tolerance=tolerance, max_iterations=max_iterations)
 
@@ -249,16 +257,24 @@ def solve_position_clusters(pos_ref, pos_new, box, cons: ConstraintData,
     J_kk' = 2 (delta_k . ref_k') w_kk'; closed-form solves on static-slot
     component arrays.  newton_iters=3 reaches the f32 floor."""
     parts = []
+    # one combined gather for every bucket/slot (the gid_all layout)
+    ref_all = pos_ref[cons.gid_all]
+    new_all = pos_new[cons.gid_all]
     for bk in cons.buckets:
         K, A = bk["K"], bk["A"]
-        gid, w, d2, invm = bk["gid"], bk["w"], bk["d2"], bk["invm"]
+        w, d2, invm = bk["w"], bk["d2"], bk["invm"]
         key = bk["key"]
+        base, ncl = bk["flat_base"], bk["ncl"]
+
+        def slot(arr, a, base=base, ncl=ncl):
+            return arr[base + a * ncl: base + (a + 1) * ncl]
+
         # reference directions (constraint-satisfying geometry)
         refs = []
         for k, (ak, al) in enumerate(key):
-            dr = pos_ref[gid[ak]] - pos_ref[gid[al]]     # (ncl,3) row math
+            dr = slot(ref_all, ak) - slot(ref_all, al)   # (ncl,3) row math
             refs.append(_mi3(dr[:, 0], dr[:, 1], dr[:, 2], box))
-        x = [pos_new[gid[a]] for a in range(A)]           # (ncl,3) each
+        x = [slot(new_all, a) for a in range(A)]          # (ncl,3) each
         xc = [[x[a][:, 0], x[a][:, 1], x[a][:, 2]] for a in range(A)]
 
         for _ in range(cons.newton_iters):
@@ -302,18 +318,26 @@ def solve_velocity_clusters(pos, vel, box, cons: ConstraintData, inv_masses):
     """Exact RATTLE: the velocity projection is linear — one closed-form
     solve per cluster (vs OpenMM's iterative CCMA)."""
     parts = []
+    # one combined gather for every bucket/slot (the gid_all layout)
+    pos_all = pos[cons.gid_all]
+    vel_all = vel[cons.gid_all]
     for bk in cons.buckets:
         K, A = bk["K"], bk["A"]
-        gid, w, invm = bk["gid"], bk["w"], bk["invm"]
+        w, invm = bk["w"], bk["invm"]
         key = bk["key"]
+        base, ncl = bk["flat_base"], bk["ncl"]
+
+        def slot(arr, a, base=base, ncl=ncl):
+            return arr[base + a * ncl: base + (a + 1) * ncl]
+
         refs = []
         rv = []
         vc = []
         for a in range(A):
-            v = vel[gid[a]]
+            v = slot(vel_all, a)
             vc.append([v[:, 0], v[:, 1], v[:, 2]])
         for k, (ak, al) in enumerate(key):
-            dr = pos[gid[ak]] - pos[gid[al]]
+            dr = slot(pos_all, ak) - slot(pos_all, al)
             rx, ry, rz = _mi3(dr[:, 0], dr[:, 1], dr[:, 2], box)
             refs.append((rx, ry, rz))
             rv.append((vc[ak][0] - vc[al][0]) * rx

@@ -54,7 +54,7 @@ def ewald_parameters(r_cutoff: float, tolerance: float = 5e-4,
 
 
 def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0,
-                      chunk_min_bytes: float = 40e6):
+                      chunk_min_bytes: float = 40e6, mirror=None):
     """Exact k-space Ewald energy.  Differentiable; O(N * A*B*C') as matmuls.
 
     Conjugate symmetry S(-k) = S*(k) halves the grid: only kz >= 0 modes are
@@ -71,6 +71,23 @@ def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0,
     EDL scale (40k atoms, AB = 169) the one-pass variant's 54 MB X/dX
     round-trips dominated the reciprocal cost; measured device A/B in
     results/ab_matrix_r5.log.
+
+    ``mirror`` = (img0, par0, count, mirror_z) declares the constant-voltage
+    image-charge layout (VVIntegrator.addImagePair with the standard
+    contiguous wiring): atoms [img0, img0+count) are a trailing block that
+    mirrors [par0, par0+count) with q_img = -q_parent, x/y copied and
+    z -> 2*mirror_z - z.  Their structure-factor block is then an EXACT
+    static transform of the parents' block — for each kz column,
+    cz' = cos(2 kz zm) cz + sin(2 kz zm) sz (and the sin analog), with the
+    x/y phase rows unchanged and the charge sign flipped — so the k-space
+    sum runs over the count REAL atoms only (halves the reciprocal's atom
+    work at EDL).  The transform is wrapped in stop_gradient: image
+    positions are independent, integrator-synced variables in the explicit
+    formulation (their forces are computed and discarded — massless slaved
+    particles, imageCharge.cu:2-28), so parent forces must be the partial
+    derivative at FIXED images, which is exactly what cutting the
+    transform's gradient yields.  Energies and real-atom forces match the
+    explicit 2N evaluation to f32 rounding (tests/test_ewald_mirror.py).
     """
     ax = jnp.arange(-kmax[0], kmax[0] + 1, dtype=jnp.float32)
     ay = jnp.arange(-kmax[1], kmax[1] + 1, dtype=jnp.float32)
@@ -113,25 +130,47 @@ def reciprocal_energy(pos, box, charges, beta, kmax, chunk: int = 0,
         return jnp.einsum("nm,nc->mc", X, Y,
                           preferred_element_type=jnp.float32)   # (2AB,2C)
 
+    def accumulate(p, q):
+        """M block of an atom subset, chunked when it is genuinely large:
+        device A/B (results/ab_matrix_r5.log) — at 26 MB (19.5k bulk) the
+        scan costs 4% (2.04 vs 1.96 ms/step), at 54 MB (40k EDL) it wins
+        13% (7.54 vs 8.63 ms/step); crossover set between the two."""
+        m = p.shape[0]
+        x_bytes = m * 2 * A * B * 4
+        if chunk and m > 2 * chunk and x_bytes > chunk_min_bytes:
+            nb = -(-m // chunk)
+            posp = jnp.pad(p, ((0, nb * chunk - m), (0, 0)))
+            qp = jnp.pad(q, (0, nb * chunk - m))
+
+            def body(M, xs):
+                return M + jax.checkpoint(contraction)(*xs), None
+
+            M, _ = jax.lax.scan(
+                body, jnp.zeros((2 * A * B, 2 * C), jnp.float32),
+                (posp.reshape(nb, chunk, 3), qp.reshape(nb, chunk)))
+            return M
+        return contraction(p, q)
+
     n = pos.shape[0]
-    # chunk only when the one-pass (n, 2AB) block is genuinely large:
-    # device A/B (results/ab_matrix_r5.log) — at 26 MB (19.5k bulk) the
-    # scan costs 4% (2.04 vs 1.96 ms/step), at 54 MB (40k EDL) it wins
-    # 13% (7.54 vs 8.63 ms/step); crossover set between the two
-    x_bytes = n * 2 * A * B * 4
-    if chunk and n > 2 * chunk and x_bytes > chunk_min_bytes:
-        nb = -(-n // chunk)
-        posp = jnp.pad(pos, ((0, nb * chunk - n), (0, 0)))
-        qp = jnp.pad(charges, (0, nb * chunk - n))
-
-        def body(M, xs):
-            return M + jax.checkpoint(contraction)(*xs), None
-
-        M, _ = jax.lax.scan(
-            body, jnp.zeros((2 * A * B, 2 * C), jnp.float32),
-            (posp.reshape(nb, chunk, 3), qp.reshape(nb, chunk)))
+    if mirror is not None:
+        img0, par0, cnt, zm = mirror
+        assert img0 + cnt == n, "mirror block must be the trailing atoms"
+        M = accumulate(pos[:par0], charges[:par0]) \
+            + (m_liq := accumulate(pos[par0:par0 + cnt],
+                                   charges[par0:par0 + cnt]))
+        # image block: q -> -q, x/y rows unchanged, per-kz-column rotation
+        # cos(kz z') = c2m cz + s2m sz, sin(kz z') = s2m cz - c2m sz with
+        # z' = 2 zm - z; static coefficients, no atom pass.  stop_gradient:
+        # see the docstring (fixed-image force convention).
+        ml = jax.lax.stop_gradient(m_liq)
+        c2m = jnp.cos(2.0 * kz * zm)                           # (C,)
+        s2m = jnp.sin(2.0 * kz * zm)
+        mc, ms = ml[:, :C], ml[:, C:]
+        M = M - jnp.concatenate(
+            [mc * c2m[None, :] + ms * s2m[None, :],
+             mc * s2m[None, :] - ms * c2m[None, :]], axis=1)
     else:
-        M = contraction(pos, charges)
+        M = accumulate(pos, charges)
     rc_, rs_ = M[:A * B, :C], M[:A * B, C:]
     ic_, is_ = M[A * B:, :C], M[A * B:, C:]
     S_re = (rc_ - is_).reshape(A, B, C)

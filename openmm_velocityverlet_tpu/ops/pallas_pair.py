@@ -1464,7 +1464,19 @@ def residual_adjustment(pos, box, charges, tables, beta, r_cutoff,
     e_coul = e_coul - jnp.sum(e_coul_d)
     e_corr = e_corr + jnp.sum(e_corr_r)
     f_adj = (f_corr_only - f_direct_only)[:, None] * dr
-    forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
+    if "res_atoms" in tables:
+        # atom-major accumulation on the compact involved-atom set (see
+        # allpairs.build_pair_tables): gather each atom's incident pair
+        # forces, then ONE small scatter instead of two full-list ones
+        fpad = jnp.concatenate(
+            [f_adj, jnp.zeros((1, 3), f_adj.dtype)], axis=0)
+        incid = jnp.asarray(tables["res_incid"])         # (U,A)
+        sign = jnp.asarray(tables["res_sign"])           # (U,A)
+        idx = jnp.where(incid >= 0, incid, f_adj.shape[0])
+        acc = jnp.sum(sign[..., None] * fpad[idx], axis=1)
+        forces = forces.at[jnp.asarray(tables["res_atoms"])].add(acc)
+    else:
+        forces = forces.at[i].add(f_adj).at[j].add(-f_adj)
     return e_lj, e_coul, e_corr, forces
 
 
